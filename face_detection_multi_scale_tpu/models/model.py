@@ -1,0 +1,176 @@
+"""The graph-executing model: runs a ModelSpec's node list with
+from-routing, ending in the detection head.
+
+Equivalent role to reference models/yolo.py Model.forward_once
+(models/yolo.py:376-400), but as a statically-unrolled flax module: the
+node loop is Python, so XLA sees one flat graph and fuses freely.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from face_detection_multi_scale_tpu.models import layers as L
+from face_detection_multi_scale_tpu.models.head import (
+    DetectionHead, decode, reshape_level)
+from face_detection_multi_scale_tpu.models.spec import (
+    HEAD_OPS, ModelSpec, Node)
+
+
+class YoloFace(nn.Module):
+    """YOLOv7-face model over a resolved ModelSpec.
+
+    __call__ returns the list of per-level raw maps reshaped to
+    (bs, na, ny, nx, no) — the training-mode output contract of the
+    reference head (models/yolo.py:273-274,308). Use
+    `models.head.decode` for inference-space predictions.
+    """
+    spec: ModelSpec
+    dtype: Any = jnp.float32
+
+    def _act(self, node_args, default=True):
+        # a trailing string activation arg (from tiny cfg rows) or the
+        # model-level override (models/yolo.py:502-504)
+        if node_args and isinstance(node_args[-1], str) and \
+                node_args[-1] in ("leaky", "relu", "silu", "none"):
+            return node_args[-1]
+        if self.spec.act is not None:
+            return self.spec.act
+        return default
+
+    def _build_block(self, node: Node, name: str):
+        """Instantiate the flax module for one parametric node."""
+        op, args, d = node.op, node.args, self.dtype
+        c1, c2 = node.c1, node.c2
+        if op == "Conv":
+            k = int(args[1]) if len(args) > 1 else 1
+            s = int(args[2]) if len(args) > 2 else 1
+            p = args[3] if len(args) > 3 else None
+            g = int(args[4]) if len(args) > 4 and not isinstance(args[4], str) else 1
+            return L.ConvBN(c2, k, s, p=p, g=g, act=self._act(args),
+                            dtype=d, name=name)
+        if op == "DWConv":
+            k = int(args[1]) if len(args) > 1 else 1
+            s = int(args[2]) if len(args) > 2 else 1
+            return L.DWConvBN(c1, c2, k, s, act=self._act(args), dtype=d,
+                              name=name)
+        if op == "SPPF":
+            k = int(args[1]) if len(args) > 1 else 5
+            return L.SPPF(c1, c2, k, dtype=d, name=name)
+        if op == "SPPCSPC":
+            return L.SPPCSPC(c2, dtype=d, name=name)
+        if op == "SPPFCSPC":
+            return L.SPPFCSPC(c2, dtype=d, name=name)
+        if op == "SPP":
+            k = tuple(args[1]) if len(args) > 1 else (3, 3, 3)
+            return L.SPP(c1, c2, k, dtype=d, name=name)
+        if op == "StemBlock":
+            k = int(args[1]) if len(args) > 1 else 3
+            s = int(args[2]) if len(args) > 2 else 2
+            return L.StemBlock(c2, k, s, dtype=d, name=name)
+        if op == "Shuffle_Block":
+            return L.ShuffleBlock(c1, c2, int(args[1]), dtype=d, name=name)
+        if op == "DWConvblock":
+            return L.DWConvblock(c1, c2, int(args[1]), int(args[2]),
+                                 dtype=d, name=name)
+        if op == "conv_bn_relu_maxpool":
+            return L.ConvBnReluMaxpool(c2, dtype=d, name=name)
+        if op == "Bottleneck":
+            sc = bool(args[1]) if len(args) > 1 else True
+            return L.Bottleneck(c1, c2, sc, act=self._act(args), dtype=d,
+                                name=name)
+        if op == "C3":
+            sc = bool(args[1]) if len(args) > 1 else True
+            return L.C3(c1, c2, node.repeats, sc, act=self._act(args),
+                        dtype=d, name=name)
+        if op == "BottleneckCSP":
+            sc = bool(args[1]) if len(args) > 1 else True
+            return L.BottleneckCSP(c1, c2, node.repeats, sc, dtype=d,
+                                   name=name)
+        if op == "Focus":
+            k = int(args[1]) if len(args) > 1 else 1
+            return L.Focus(c2, k, act=self._act(args), dtype=d, name=name)
+        raise NotImplementedError(f"op {node.op!r}")
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        spec = self.spec.resolve()
+        saved: List[Optional[jnp.ndarray]] = []
+        save = set(spec.save)
+        for i, node in enumerate(spec.nodes):
+            # gather inputs
+            if isinstance(node.f, int):
+                inp = x if node.f == i - 1 else saved[node.f]
+            else:
+                inp = [x if j == i - 1 else saved[j] for j in node.f]
+
+            op = node.op
+            if op in HEAD_OPS:
+                variant = {"Detect": "detect", "IDetect": "idetect",
+                           "IKeypoint": "ikeypoint"}[op]
+                raws = DetectionHead(spec, variant, dtype=self.dtype,
+                                     name=f"model_{i}")(inp, train)
+                return [reshape_level(r, spec.na, spec.no) for r in raws]
+            if op == "Concat":
+                x = jnp.concatenate(inp, axis=-1)
+            elif op == "ADD":
+                # torch.add(x1, x2, alpha=0.5): x1 + 0.5 * x2
+                # (reference models/common.py:473-481)
+                x = inp[0] + 0.5 * inp[1]
+            elif op == "Upsample":
+                x = L.upsample2x_nearest(inp)
+            elif op == "MP":
+                k = int(node.args[0]) if node.args else 2
+                x = L.max_pool(inp, k, k, 0)
+            elif op == "SP":
+                k = int(node.args[0]) if node.args else 3
+                s = int(node.args[1]) if len(node.args) > 1 else 1
+                x = L.max_pool(inp, k, s, k // 2)
+            elif op == "SPF":
+                k = int(node.args[0]) if node.args else 3
+                x = inp
+                for _ in range((k - 1) // 2):
+                    x = L.max_pool(x, 3, 1, 1)
+            elif op == "ReOrg":
+                x = L.reorg(inp)
+            else:
+                if node.n_resolved > 1:
+                    x = inp
+                    for j in range(node.n_resolved):
+                        blk = self._build_block(node, f"model_{i}_{j}")
+                        x = blk(x, train)
+                else:
+                    x = self._build_block(node, f"model_{i}")(inp, train)
+            saved.append(x if i in save else None)
+        raise RuntimeError("spec has no detection head as its last node")
+
+
+def init_model(spec: ModelSpec, key=None, img_size: int = 64,
+               dtype=jnp.float32):
+    """Initialize model variables with a dummy forward."""
+    model = YoloFace(spec=spec, dtype=dtype)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, img_size, img_size, 3), dtype)
+    variables = model.init(key, dummy, train=False)
+    return model, variables
+
+
+def forward_infer(model: YoloFace, variables, images: jnp.ndarray):
+    """Inference forward: decoded predictions (bs, N, no) + raw maps."""
+    raws = model.apply(variables, images, train=False)
+    return decode(raws, model.spec), raws
+
+
+def make_jitted_infer(model: YoloFace, variables):
+    """A jit-compiled closure: images (bs, h, w, 3) float -> (bs, N, no)."""
+    @jax.jit
+    def run(variables, images):
+        raws = model.apply(variables, images, train=False)
+        return decode(raws, model.spec)
+    return functools.partial(run, variables)

@@ -1,0 +1,192 @@
+"""On-device, fixed-capacity non-maximum suppression and the full
+postprocess pipeline.
+
+TPU-native re-design of the reference postprocess
+(utils/general.py:506-600 `non_max_suppression`,
+multi_scale_face_detector.py:168-240 `calculate_scale_weights` /
+`weighted_nms`): data-dependent box counts become fixed-capacity buffers
+with validity masks, torchvision.ops.nms becomes a select-max/suppress
+`lax.fori_loop`, and the whole path (conf gate -> conf=obj*cls ->
+xywh->xyxy -> class offset -> NMS) stays on device so the only host
+transfer is the final (max_det, 6+3*nkpt) block per image.
+
+Greedy NMS semantics match torchvision: boxes processed in descending
+score order, a box is suppressed when IoU with an already-kept box is
+strictly greater than the threshold.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from face_detection_multi_scale_tpu.ops.boxes import xywh2xyxy
+
+MAX_WH = 4096  # class-offset multiplier (reference utils/general.py:518)
+NEG_INF = -1e30
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity per-image detections.
+
+    boxes:  (..., max_det, 4) xyxy in network-input pixels
+    scores: (..., max_det)
+    classes: (..., max_det)
+    extras: (..., max_det, E) landmark triplets (x, y, conf) * nkpt, or E=0
+    valid:  (..., max_det) bool
+    """
+    boxes: jnp.ndarray
+    scores: jnp.ndarray
+    classes: jnp.ndarray
+    extras: jnp.ndarray
+    valid: jnp.ndarray
+
+    @property
+    def count(self):
+        return self.valid.sum(-1)
+
+
+def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
+                max_det: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over (N, 4) xyxy boxes with (N,) scores; invalid
+    candidates must carry score <= NEG_INF/2. Returns (max_det,) indices
+    and a (max_det,) validity mask.
+
+    Implemented as a select-max/suppress loop: max_det iterations of a
+    vectorized argmax + IoU suppression — identical output to sequential
+    greedy NMS truncated to max_det keeps.
+    """
+    boxes = jnp.asarray(boxes)
+    scores = jnp.asarray(scores)
+    n = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+
+    def body(i, state):
+        live_scores, keep_idx, keep_valid = state
+        best = jnp.argmax(live_scores)
+        best_score = live_scores[best]
+        ok = best_score > NEG_INF / 2
+        keep_idx = keep_idx.at[i].set(jnp.where(ok, best, 0))
+        keep_valid = keep_valid.at[i].set(ok)
+        # suppress the chosen box and all boxes with IoU > thr against it
+        bx1, by1, bx2, by2 = x1[best], y1[best], x2[best], y2[best]
+        iw = jnp.clip(jnp.minimum(x2, bx2) - jnp.maximum(x1, bx1), 0, None)
+        ih = jnp.clip(jnp.minimum(y2, by2) - jnp.maximum(y1, by1), 0, None)
+        inter = iw * ih
+        iou = inter / (areas + areas[best] - inter)
+        suppress = (iou > iou_thres) | (
+            jnp.arange(n) == best)
+        live_scores = jnp.where(ok & suppress, NEG_INF, live_scores)
+        return live_scores, keep_idx, keep_valid
+
+    init = (scores,
+            jnp.zeros((max_det,), jnp.int32),
+            jnp.zeros((max_det,), bool))
+    _, keep_idx, keep_valid = jax.lax.fori_loop(0, max_det, body, init)
+    return keep_idx, keep_valid
+
+
+def _postprocess_single(pred: jnp.ndarray, *, nc: int, nkpt: int,
+                        conf_thres: float, iou_thres: float,
+                        max_candidates: int, max_det: int,
+                        agnostic: bool) -> Detections:
+    """One image: pred (N, 5+nc+3*nkpt) decoded rows -> Detections."""
+    obj = pred[:, 4]
+    cls_conf = pred[:, 5:5 + nc] * obj[:, None]  # conf = obj * cls
+    conf = cls_conf.max(axis=1)
+    cls = cls_conf.argmax(axis=1).astype(pred.dtype)
+    # two-stage gate as in the reference: obj > thr then conf > thr
+    gate = (obj > conf_thres) & (conf > conf_thres)
+
+    boxes = xywh2xyxy(pred[:, :4])
+    masked_conf = jnp.where(gate, conf, NEG_INF)
+    k = min(max_candidates, pred.shape[0])
+    top_conf, top_idx = jax.lax.top_k(masked_conf, k)
+    top_boxes = boxes[top_idx]
+    top_cls = cls[top_idx]
+    extras = pred[top_idx, 5 + nc:]
+
+    offset = jnp.zeros_like(top_cls) if (agnostic or nc == 1) else top_cls
+    nms_boxes = top_boxes + (offset * MAX_WH)[:, None]
+    keep_idx, keep_valid = nms_indices(nms_boxes, top_conf, iou_thres, max_det)
+
+    return Detections(
+        boxes=top_boxes[keep_idx],
+        scores=jnp.where(keep_valid, top_conf[keep_idx], 0.0),
+        classes=top_cls[keep_idx],
+        extras=extras[keep_idx],
+        valid=keep_valid,
+    )
+
+
+def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
+                        iou_thres: float = 0.45, *, nc: int = 1,
+                        nkpt: int = 5, max_candidates: int = 4096,
+                        max_det: int = 300,
+                        agnostic: bool = False) -> Detections:
+    """Batched on-device NMS: pred (bs, N, 5+nc+3*nkpt) -> Detections with
+    leading batch dim. jit/vmap/shard_map friendly (static shapes only)."""
+    fn = functools.partial(
+        _postprocess_single, nc=nc, nkpt=nkpt, conf_thres=conf_thres,
+        iou_thres=iou_thres, max_candidates=max_candidates, max_det=max_det,
+        agnostic=agnostic)
+    return jax.vmap(fn)(pred)
+
+
+def detections_to_numpy(dets: Detections):
+    """Fixed-capacity device Detections -> list of (n_i, 6+E) numpy arrays
+    [x1, y1, x2, y2, conf, cls, extras...], the reference output format
+    (utils/general.py:509)."""
+    import numpy as np
+
+    boxes = np.asarray(dets.boxes)
+    scores = np.asarray(dets.scores)
+    classes = np.asarray(dets.classes)
+    extras = np.asarray(dets.extras)
+    valid = np.asarray(dets.valid)
+    out = []
+    for i in range(boxes.shape[0]):
+        v = valid[i]
+        rows = np.concatenate([
+            boxes[i][v], scores[i][v][:, None], classes[i][v][:, None],
+            extras[i][v]], axis=1)
+        out.append(rows)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-scale weighted NMS (the TTA merge layer)
+# ---------------------------------------------------------------------------
+
+def scale_weights(boxes: jnp.ndarray, scale_idx: jnp.ndarray,
+                  num_scales: int) -> jnp.ndarray:
+    """Size-vs-scale priors (reference multi_scale_face_detector.py:168-201):
+    faces < 32^2 px found at the 2 largest scales x1.2; 32^2..128^2 at the
+    middle scale x1.1; > 128^2 at the 2 smallest scales x1.2."""
+    sizes = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    w = jnp.ones_like(sizes)
+    small = sizes < 1024.0
+    medium = (sizes >= 1024.0) & (sizes <= 16384.0)
+    large = sizes > 16384.0
+    w = jnp.where(small & (scale_idx >= num_scales - 2), w * 1.2, w)
+    w = jnp.where(medium & (scale_idx == num_scales // 2), w * 1.1, w)
+    w = jnp.where(large & (scale_idx <= 1), w * 1.2, w)
+    return w
+
+
+def weighted_nms(boxes: jnp.ndarray, conf: jnp.ndarray,
+                 scale_idx: jnp.ndarray, valid: jnp.ndarray,
+                 num_scales: int, iou_thres: float,
+                 max_det: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-scale merge: weight confidences by the scale priors, run one
+    NMS over all scales' boxes (in original-image space), and return
+    (max_det,) indices into the input plus validity. The caller keeps the
+    ORIGINAL (unweighted) rows of the keepers, as the reference does
+    (multi_scale_face_detector.py:203-240)."""
+    w = scale_weights(boxes, scale_idx, num_scales)
+    weighted = jnp.where(valid, conf * w, NEG_INF)
+    return nms_indices(boxes, weighted, iou_thres, max_det)

@@ -1,0 +1,118 @@
+"""NMS correctness: select-max/suppress loop vs sequential greedy NMS, and
+the full postprocess vs the reference non_max_suppression."""
+
+import numpy as np
+import pytest
+
+from face_detection_multi_scale_tpu.ops import nms as N
+
+from oracle import import_reference, seeded_torch
+
+ref = import_reference()
+
+
+def greedy_nms_numpy(boxes, scores, iou_thres):
+    """Sequential greedy NMS (torchvision semantics), independent oracle."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    areas = (boxes[:, 2] - boxes[:, 0]).clip(0) * (boxes[:, 3] - boxes[:, 1]).clip(0)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = (xx2 - xx1).clip(0) * (yy2 - yy1).clip(0)
+        iou = inter / (areas[i] + areas - inter)
+        suppressed |= iou > iou_thres
+    return np.array(keep)
+
+
+def random_dets(n, seed, size=640):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, size, (n, 2)).astype(np.float32)
+    wh = rng.uniform(4, 120, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], 1)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("n,iou_thres,seed", [
+    (64, 0.45, 0), (256, 0.5, 1), (1024, 0.6, 2), (8, 0.3, 3),
+])
+def test_nms_indices_vs_greedy(n, iou_thres, seed):
+    boxes, scores = random_dets(n, seed)
+    want = greedy_nms_numpy(boxes, scores, iou_thres)
+    idx, valid = N.nms_indices(boxes, scores, iou_thres, max_det=n)
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_respects_max_det():
+    boxes, scores = random_dets(500, 7)
+    idx, valid = N.nms_indices(boxes, scores, 0.99, max_det=10)
+    assert valid.sum() == 10  # iou 0.99 keeps nearly everything
+
+
+def test_postprocess_vs_reference_nms():
+    """Full postprocess on synthetic decoded predictions vs the reference
+    non_max_suppression (kpt path, nc=1)."""
+    general = ref("utils.general")
+    torch = seeded_torch(11)
+    bs, n, nkpt = 2, 3000, 5
+    rng = np.random.default_rng(11)
+    pred = np.zeros((bs, n, 6 + nkpt * 3), np.float32)
+    pred[..., 0:2] = rng.uniform(50, 590, (bs, n, 2))       # cx, cy
+    pred[..., 2:4] = rng.uniform(6, 100, (bs, n, 2))        # w, h
+    pred[..., 4] = rng.uniform(0, 1, (bs, n))               # obj
+    pred[..., 5] = rng.uniform(0, 1, (bs, n))               # cls
+    pred[..., 6:] = rng.uniform(0, 640, (bs, n, nkpt * 3))
+
+    conf_thres, iou_thres = 0.25, 0.5
+    want = general.non_max_suppression(
+        torch.from_numpy(pred.copy()), conf_thres, iou_thres, kpt_label=nkpt)
+
+    # the reference NMS has no max_det cap (utils/general.py:585-586 is
+    # commented out), so give our fixed-capacity buffer generous room
+    dets = N.non_max_suppression(pred, conf_thres, iou_thres, nc=1,
+                                 nkpt=nkpt, max_candidates=4096, max_det=1500)
+    got = N.detections_to_numpy(dets)
+    for b in range(bs):
+        w = want[b].numpy()
+        g = got[b]
+        assert g.shape == w.shape, f"image {b}: {g.shape} vs {w.shape}"
+        np.testing.assert_allclose(g[:, :4], w[:, :4], atol=1e-3)
+        np.testing.assert_allclose(g[:, 4], w[:, 4], atol=1e-5)
+        np.testing.assert_array_equal(g[:, 5], w[:, 5])
+        np.testing.assert_allclose(g[:, 6:], w[:, 6:], atol=1e-3)
+
+
+def test_weighted_nms_vs_reference():
+    """Cross-scale weighted NMS vs MultiScaleFaceDetector.weighted_nms."""
+    torch = seeded_torch(13)
+    msfd_mod = ref("multi_scale_face_detector")
+    rng = np.random.default_rng(13)
+    n = 400
+    boxes, conf = random_dets(n, 13, size=2000)
+    scale_idx = rng.integers(0, 3, n).astype(np.float64)
+    det = np.concatenate([
+        boxes, conf[:, None], np.zeros((n, 1)), scale_idx[:, None]],
+        axis=1)
+
+    # instantiate without running __init__ (no model weights needed)
+    detector = msfd_mod.MultiScaleFaceDetector.__new__(
+        msfd_mod.MultiScaleFaceDetector)
+    detector.img_sizes = [640, 1920, 3840]
+    detector.iou_thres = 0.5
+    want = detector.weighted_nms(det.copy())
+
+    idx, valid = N.weighted_nms(
+        boxes, conf, scale_idx.astype(np.float32),
+        np.ones(n, bool), num_scales=3, iou_thres=0.5, max_det=n)
+    got = det[np.asarray(idx)[np.asarray(valid)]]
+    # the reference returns keepers in torchvision nms order (by weighted
+    # score); ours likewise
+    np.testing.assert_allclose(got, want, atol=1e-5)
