@@ -141,3 +141,88 @@ def compute_loss(raw_preds: Sequence[jnp.ndarray], targets: Dict[str, tuple],
     total = lbox + lobj + lcls + lkpt + lkptv
     components = jnp.stack([lbox, lobj, lcls, lkpt, lkptv, total])
     return total * bs, components
+
+
+def compute_loss_batched(raw_preds: Sequence[jnp.ndarray],
+                         targets: Dict[str, tuple],
+                         hyp: Dict[str, float], *, nc: int, nkpt: int,
+                         gr: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SPMD-friendly loss: targets carry a (B, cap, ...) layout from
+    build_targets_batched, so all gathers are per-image (vmapped) and the
+    computation shards cleanly along the batch axis of a data-parallel
+    mesh — only the final scalar reductions cross devices.
+
+    Numerically identical to `compute_loss` (same reference semantics)."""
+    nl = len(raw_preds)
+    balance = BALANCE_3 if nl == 3 else BALANCE_P6
+    cp, cn = smooth_bce(hyp.get("label_smoothing", 0.0))
+    fl_gamma = hyp.get("fl_gamma", 0.0)
+    cls_pw = hyp.get("cls_pw", 1.0)
+    obj_pw = hyp.get("obj_pw", 1.0)
+
+    zero = jnp.zeros((), jnp.float32)
+    lbox = lobj = lcls = lkpt = lkptv = zero
+    bs = raw_preds[0].shape[0]
+
+    for i, pi in enumerate(raw_preds):
+        pi = pi.astype(jnp.float32)
+        a = targets["a"][i]        # (B, cap)
+        gj = targets["gj"][i]
+        gi = targets["gi"][i]
+        mask = targets["mask"][i].astype(jnp.float32)  # (B, cap)
+        denom = jnp.maximum(mask.sum(), 1.0)
+
+        ps = jax.vmap(lambda p, aa, jj, ii: p[aa, jj, ii])(
+            pi, a, gj, gi)  # (B, cap, no)
+
+        pxy = jax.nn.sigmoid(ps[..., 0:2]) * 2.0 - 0.5
+        pwh = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * \
+            targets["anchors"][i]
+        pbox = jnp.concatenate([pxy, pwh], axis=-1)
+        iou = bbox_iou(pbox, targets["tbox"][i], xywh=True, kind="eiou")
+        lbox = lbox + ((1.0 - iou) * mask).sum() / denom
+
+        if nkpt:
+            pkpt_x = ps[..., 6::3] * 2.0 - 0.5
+            pkpt_y = ps[..., 7::3] * 2.0 - 0.5
+            pkpt_score = ps[..., 8::3]
+            tkpt = targets["tkpt"][i]
+            vis = (tkpt[..., 0::2] != 0).astype(jnp.float32)
+            kpt_mask = vis * mask[..., None]
+            v = bce_with_logits(pkpt_score, vis, cls_pw) * mask[..., None]
+            lkptv = lkptv + v.sum() / jnp.maximum(
+                mask.sum() * pkpt_score.shape[-1], 1.0)
+            ksum = jnp.maximum(kpt_mask.sum(), 1e-9)
+            lx = wing((pkpt_x - tkpt[..., 0::2]) * kpt_mask).sum() / ksum
+            ly = wing((pkpt_y - tkpt[..., 1::2]) * kpt_mask).sum() / ksum
+            lkpt = lkpt + (lx + ly) / 2.0
+
+        val = ((1.0 - gr) + gr * jax.lax.stop_gradient(
+            jnp.clip(iou, 0.0, None))) * mask
+        tobj = jax.vmap(
+            lambda aa, jj, ii, vv, shape=pi.shape[1:4]:
+            jnp.zeros(shape, jnp.float32).at[aa, jj, ii].max(vv))(
+                a, gj, gi, val)
+        obj_bce = bce_with_logits(pi[..., 4], tobj, obj_pw)
+        if fl_gamma > 0:
+            obj_bce = obj_bce * focal_scale(pi[..., 4], tobj, fl_gamma)
+        lobj = lobj + obj_bce.mean() * balance[i]
+
+        if nc > 1:
+            t = jnp.full(ps.shape[:-1] + (nc,), cn, jnp.float32)
+            onehot = jax.nn.one_hot(targets["tcls"][i], nc) * (cp - cn)
+            t = t + onehot
+            cls_bce = bce_with_logits(ps[..., 5:5 + nc], t, cls_pw)
+            if fl_gamma > 0:
+                cls_bce = cls_bce * focal_scale(ps[..., 5:5 + nc], t,
+                                                fl_gamma)
+            lcls = lcls + (cls_bce * mask[..., None]).sum() / (denom * nc)
+
+    lbox = lbox * hyp["box"]
+    lobj = lobj * hyp["obj"]
+    lcls = lcls * hyp["cls"]
+    lkptv = lkptv * hyp["cls"]
+    lkpt = lkpt * hyp["kpt"]
+    total = lbox + lobj + lcls + lkpt + lkptv
+    components = jnp.stack([lbox, lobj, lcls, lkpt, lkptv, total])
+    return total * bs, components

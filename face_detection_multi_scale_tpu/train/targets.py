@@ -144,6 +144,41 @@ def build_targets(labels: np.ndarray, spec: ModelSpec,
     return out
 
 
+def build_targets_batched(labels: np.ndarray, batch_size: int,
+                          spec: ModelSpec,
+                          grid_shapes: Sequence[Tuple[int, int]],
+                          anchor_t: float = 4.0,
+                          cap_per_image: int = 128) -> Dict[str, tuple]:
+    """Per-image fixed-capacity targets, stacked to (B, cap, ...) arrays.
+
+    This is the SPMD-friendly layout: every array's leading dim is the
+    batch, so a data-parallel mesh shards targets alongside images and the
+    loss gathers stay shard-local (no cross-device indexing).
+    """
+    per_level_stacks: List[List[LevelTargets]] = [[] for _ in grid_shapes]
+    for b in range(batch_size):
+        rows = labels[labels[:, 0] == b] if len(labels) else labels
+        rows = np.array(rows, np.float32)
+        if len(rows):
+            rows = rows.copy()
+            rows[:, 0] = 0
+        levels = build_targets(rows, spec, grid_shapes, anchor_t,
+                               cap=cap_per_image)
+        for i, lt in enumerate(levels):
+            per_level_stacks[i].append(lt)
+
+    def stack(field):
+        return tuple(
+            np.stack([getattr(lt, field) for lt in lvl])
+            for lvl in per_level_stacks)
+
+    return {
+        "a": stack("a"), "gj": stack("gj"), "gi": stack("gi"),
+        "tbox": stack("tbox"), "tkpt": stack("tkpt"), "tcls": stack("tcls"),
+        "anchors": stack("anchors"), "mask": stack("mask"),
+    }
+
+
 def _bucket(n: int, quantum: int = 256) -> int:
     """Round capacity up to a quantum so jit sees few distinct shapes."""
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
