@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Single/batch image + video face detection CLI.
+
+Equivalent surface to the reference detect.py (reference detect.py:20-202,
+argparse :160-185): runs a model over images, directories, globs, or
+videos; draws boxes + 5-point landmarks; optionally saves label txts.
+Default operating point conf 0.25 / IoU 0.45 (detect.py:171-172).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+IMG_EXT = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
+VID_EXT = {".mov", ".avi", ".mp4", ".mpg", ".mpeg", ".m4v", ".wmv", ".mkv"}
+
+
+def list_sources(source: str):
+    p = Path(source)
+    if p.is_dir():
+        files = sorted(str(f) for f in p.iterdir()
+                       if f.suffix.lower() in IMG_EXT | VID_EXT)
+    elif "*" in source:
+        files = sorted(glob.glob(source, recursive=True))
+    else:
+        files = [source]
+    imgs = [f for f in files if Path(f).suffix.lower() in IMG_EXT]
+    vids = [f for f in files if Path(f).suffix.lower() in VID_EXT]
+    return imgs, vids
+
+
+def increment_path(path: Path, exist_ok=False) -> Path:
+    """runs/detect/exp -> exp2, exp3, ... (reference
+    utils/general.py:730-744 semantics)."""
+    if exist_ok or not path.exists():
+        return path
+    for n in range(2, 9999):
+        cand = path.with_name(f"{path.name}{n}")
+        if not cand.exists():
+            return cand
+    raise RuntimeError("increment_path exhausted")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default=None,
+                    help="torch .pt checkpoint to convert, or orbax dir")
+    ap.add_argument("--model", default="yolov7-tiny-face",
+                    help="zoo model name or reference cfg yaml path")
+    ap.add_argument("--source", default="data/images")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--conf-thres", type=float, default=0.25)
+    ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--save-txt", action="store_true")
+    ap.add_argument("--save-conf", action="store_true")
+    ap.add_argument("--nosave", action="store_true")
+    ap.add_argument("--hide-labels", action="store_true")
+    ap.add_argument("--hide-conf", action="store_true")
+    ap.add_argument("--kpt-label", type=int, default=5)
+    ap.add_argument("--project", default="runs/detect")
+    ap.add_argument("--name", default="exp")
+    ap.add_argument("--exist-ok", action="store_true")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args(argv)
+
+    import cv2
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.infer.detector import FaceDetector
+    from face_detection_multi_scale_tpu.models.spec import load_spec
+    from face_detection_multi_scale_tpu.utils.plotting import draw_detections
+
+    save_dir = increment_path(Path(args.project) / args.name, args.exist_ok)
+    (save_dir / "labels" if args.save_txt else save_dir).mkdir(
+        parents=True, exist_ok=True)
+
+    model = (load_spec(args.model) if args.model.endswith(".yaml")
+             else args.model)
+    det = FaceDetector(model, torch_weights=args.weights,
+                       img_sizes=(args.img_size,),
+                       conf_thres=args.conf_thres,
+                       iou_thres=args.iou_thres,
+                       dtype=jnp.bfloat16 if args.dtype == "bfloat16"
+                       else jnp.float32)
+
+    imgs, vids = list_sources(args.source)
+    t0 = time.time()
+    n_done = 0
+
+    def process_frames(frames, paths, writer=None):
+        nonlocal n_done
+        rows_list = det.detect_batch(frames, args.img_size, kpt=True)
+        for frame, path, rows in zip(frames, paths, rows_list):
+            n_done += 1
+            if len(rows):
+                draw_detections(frame, rows, hide_labels=args.hide_labels,
+                                hide_conf=args.hide_conf,
+                                nkpt=args.kpt_label)
+            if args.save_txt:
+                h, w = frame.shape[:2]
+                txt = save_dir / "labels" / (Path(path).stem + ".txt")
+                with open(txt, "a") as f:
+                    for r in rows:
+                        xywh = [((r[0] + r[2]) / 2) / w,
+                                ((r[1] + r[3]) / 2) / h,
+                                (r[2] - r[0]) / w, (r[3] - r[1]) / h]
+                        line = [int(r[5])] + xywh + (
+                            [r[4]] if args.save_conf else [])
+                        f.write(" ".join(f"{v:g}" for v in line) + "\n")
+            if writer is not None:
+                writer.write(frame)
+            elif not args.nosave:
+                cv2.imwrite(str(save_dir / Path(path).name), frame)
+            print(f"{path}: {len(rows)} faces")
+
+    # images, batched
+    for i in range(0, len(imgs), args.batch_size):
+        chunk = imgs[i:i + args.batch_size]
+        frames = [cv2.imread(p) for p in chunk]
+        process_frames(frames, chunk)
+
+    # videos, frame by frame
+    for vid in vids:
+        cap = cv2.VideoCapture(vid)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        out_path = str(save_dir / (Path(vid).stem + ".mp4"))
+        writer = None
+        if not args.nosave:
+            writer = cv2.VideoWriter(out_path,
+                                     cv2.VideoWriter_fourcc(*"mp4v"),
+                                     fps, (w, h))
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            process_frames([frame], [vid], writer)
+        cap.release()
+        if writer is not None:
+            writer.release()
+
+    dt = time.time() - t0
+    print(f"Done. {n_done} frames in {dt:.3f}s "
+          f"({1000 * dt / max(n_done, 1):.1f} ms/frame). "
+          f"Results saved to {save_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
