@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Equivalent surface to the reference train.py (reference train.py:582-619
+argparse; defaults: cfg yolov7-face, data widerface, hyp scratch.p6,
+img 960, kpt-label 5). The loop follows the reference call stack
+(SURVEY.md §3.1) on the TPU stack: host dataloader + target assignment,
+jitted mesh-sharded train step (grad psum + cross-replica BN via XLA),
+ramped EMA, per-epoch validation on the EMA weights, last/best orbax
+checkpoints by fitness, cosine schedule + per-iteration warmup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def load_data_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    return d
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov7-face",
+                    help="zoo name or reference cfg yaml path")
+    ap.add_argument("--data", required=True, help="dataset yaml")
+    ap.add_argument("--hyp", default="scratch.p6",
+                    help="hyp preset name or yaml path")
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--img-size", type=int, default=960)
+    ap.add_argument("--kpt-label", type=int, default=5)
+    ap.add_argument("--weights", default=None,
+                    help="initial weights: torch .pt or inference .npz")
+    ap.add_argument("--resume", nargs="?", const=True, default=False)
+    ap.add_argument("--noautoanchor", action="store_true")
+    ap.add_argument("--noval", action="store_true")
+    ap.add_argument("--linear-lr", action="store_true")
+    ap.add_argument("--cache-images", action="store_true")
+    ap.add_argument("--project", default="runs/train")
+    ap.add_argument("--name", default="exp")
+    ap.add_argument("--exist-ok", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--val-batch-size", type=int, default=None)
+    ap.add_argument("--log-interval", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.data.dataset import (
+        DataLoader, FaceDataset)
+    from face_detection_multi_scale_tpu.eval.metrics import fitness
+    from face_detection_multi_scale_tpu.infer.validate import validate
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.convert import (
+        convert_state_dict, load_torch_checkpoint)
+    from face_detection_multi_scale_tpu.models.model import (
+        YoloFace, init_model)
+    from face_detection_multi_scale_tpu.models.spec import load_spec
+    from face_detection_multi_scale_tpu.parallel.mesh import (
+        batch_sharding, is_main_process, make_data_mesh, replicated)
+    from face_detection_multi_scale_tpu.train import checkpoint as CKPT
+    from face_detection_multi_scale_tpu.train.autoanchor import check_anchors
+    from face_detection_multi_scale_tpu.train.hyp import get_hyp
+    from face_detection_multi_scale_tpu.train.targets import (
+        build_targets_batched)
+    from face_detection_multi_scale_tpu.train.trainer import (
+        TrainConfig, create_train_state, make_train_step)
+
+    from cli.detect import increment_path
+
+    save_dir = increment_path(Path(args.project) / args.name, args.exist_ok)
+    ckpt_dir = save_dir / "weights"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+    hyp = get_hyp(args.hyp)
+    data = load_data_config(args.data)
+    nc = int(data.get("nc", 1))
+
+    spec = (load_spec(args.model) if args.model.endswith(".yaml")
+            else zoo.get_spec(args.model))
+    if nc != spec.nc:
+        spec.nc = nc
+
+    # snapshot run config (train.py:54-57)
+    with open(save_dir / "opt.json", "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)
+    with open(save_dir / "hyp.json", "w") as f:
+        json.dump(hyp, f, indent=2)
+
+    # datasets; per-host sharding replaces DistributedSampler
+    train_ds = FaceDataset(data["train"], img_size=args.img_size,
+                           augment=True, hyp=hyp,
+                           kpt_label=args.kpt_label,
+                           stride=spec.max_stride,
+                           cache_images=args.cache_images)
+    val_ds = None
+    if not args.noval and data.get("val"):
+        val_ds = FaceDataset(data["val"], img_size=args.img_size,
+                             augment=False, hyp=hyp,
+                             kpt_label=args.kpt_label,
+                             stride=spec.max_stride)
+
+    if not args.noautoanchor:
+        anchors, bpr = check_anchors(train_ds.labels, train_ds.shapes,
+                                     spec, thr=hyp["anchor_t"],
+                                     imgsz=args.img_size)
+        spec.anchors = tuple(tuple(float(v) for v in a.reshape(-1))
+                             for a in anchors)
+
+    model, variables = init_model(spec, jax.random.PRNGKey(args.seed),
+                                  img_size=128)
+    if args.weights:
+        if args.weights.endswith(".npz"):
+            variables = CKPT.load_inference_weights(args.weights)
+        else:
+            variables = convert_state_dict(
+                load_torch_checkpoint(args.weights))
+
+    loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                        seed=args.seed,
+                        num_hosts=jax.process_count(),
+                        host_id=jax.process_index())
+    steps_per_epoch = max(len(loader), 1)
+
+    cfg = TrainConfig(
+        epochs=args.epochs, steps_per_epoch=steps_per_epoch,
+        lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
+        # weight decay scaled to the nominal batch 64 (train.py:157-159)
+        weight_decay=hyp["weight_decay"] * max(
+            round(64 / args.batch_size), 1) * args.batch_size / 64,
+        warmup_epochs=hyp["warmup_epochs"],
+        warmup_momentum=hyp["warmup_momentum"],
+        warmup_bias_lr=hyp["warmup_bias_lr"],
+        batch_size=args.batch_size, linear_lr=args.linear_lr)
+
+    state = create_train_state(variables)
+    start_epoch = 0
+    best_fitness = -1.0
+    if args.resume:
+        state, meta = CKPT.load_checkpoint(str(ckpt_dir), "last", state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_fitness = float(meta.get("best_fitness", -1.0))
+        print(f"resumed from epoch {start_epoch}")
+
+    step_fn = make_train_step(model, cfg, hyp, args.img_size)
+    mesh = make_data_mesh()
+    grid_shapes = [(args.img_size // s, args.img_size // s)
+                   for s in spec.strides]
+
+    results_path = save_dir / "results.txt"
+    with mesh:
+        data_sh = batch_sharding(mesh)
+        state = jax.device_put(state, replicated(mesh))
+        for epoch in range(start_epoch, args.epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            mloss = np.zeros(6)
+            nb = 0
+            for images, labels, paths, shapes in loader:
+                targets = build_targets_batched(
+                    labels, len(images), spec, grid_shapes,
+                    anchor_t=hyp["anchor_t"])
+                images_d = jax.device_put(images, data_sh)
+                targets_d = jax.tree.map(
+                    lambda x: jax.device_put(jnp.asarray(x), data_sh),
+                    targets)
+                state, loss, comps = step_fn(state, images_d, targets_d)
+                mloss += np.asarray(comps)
+                nb += 1
+                if nb % args.log_interval == 0 and is_main_process():
+                    c = mloss / nb
+                    print(f"epoch {epoch} step {nb}/{steps_per_epoch} "
+                          f"box {c[0]:.4f} obj {c[1]:.4f} cls {c[2]:.4f} "
+                          f"kpt {c[3]:.4f} kptv {c[4]:.4f} "
+                          f"total {c[5]:.4f}")
+            dt = time.time() - t0
+            c = mloss / max(nb, 1)
+
+            if is_main_process():
+                fit = -1.0
+                results = {}
+                if val_ds is not None:
+                    ema_vars = {"params": state.ema_params,
+                                "batch_stats": state.batch_stats}
+                    results = validate(
+                        model, ema_vars, val_ds,
+                        batch_size=args.val_batch_size or args.batch_size)
+                    fit = fitness(results["mp"], results["mr"],
+                                  results["map50"], results["map"])
+                with open(results_path, "a") as f:
+                    f.write(f"{epoch} " + " ".join(
+                        f"{v:.5f}" for v in c) + " " + json.dumps(results)
+                        + f" {dt:.1f}s\n")
+                meta = {"epoch": epoch, "best_fitness": best_fitness,
+                        "fitness": fit, "results": results}
+                CKPT.save_checkpoint(str(ckpt_dir), "last", state, meta)
+                if fit > best_fitness:
+                    best_fitness = fit
+                    meta["best_fitness"] = best_fitness
+                    CKPT.save_checkpoint(str(ckpt_dir), "best", state, meta)
+                print(f"epoch {epoch} done in {dt:.1f}s "
+                      f"loss {c[5]:.4f} fitness {fit:.4f}")
+
+        # finalize: strip to EMA inference weights
+        # (strip_optimizer equivalent)
+        if is_main_process():
+            CKPT.save_inference_weights(
+                str(ckpt_dir / "best_inference.npz"),
+                CKPT.strip_to_inference(state))
+    print(f"training complete -> {save_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

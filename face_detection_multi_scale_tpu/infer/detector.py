@@ -56,7 +56,13 @@ class FaceDetector:
         self.spec = spec.resolve()
         self.model = YoloFace(spec=self.spec, dtype=dtype)
         if torch_weights is not None:
-            variables = convert_state_dict(load_torch_checkpoint(torch_weights))
+            if str(torch_weights).endswith(".npz"):
+                from face_detection_multi_scale_tpu.train.checkpoint import (
+                    load_inference_weights)
+                variables = load_inference_weights(torch_weights)
+            else:
+                variables = convert_state_dict(
+                    load_torch_checkpoint(torch_weights))
         if variables is None:
             _, variables = init_model(self.spec, jax.random.PRNGKey(seed),
                                       img_size=64, dtype=dtype)

@@ -1,0 +1,97 @@
+"""Validation: P / R / mAP@.5 / mAP@.5:.95 over a dataset.
+
+Equivalent of the reference test.py `test()` (reference test.py:41-379):
+batched forward + NMS at conf 0.001 / IoU 0.6, predictions rescaled to
+native image space, greedy IoU-ladder matching, ap_per_class.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from face_detection_multi_scale_tpu.data.dataset import (
+    DataLoader, FaceDataset)
+from face_detection_multi_scale_tpu.data.letterbox import scale_coords
+from face_detection_multi_scale_tpu.eval.metrics import (
+    IOUV, ap_per_class, match_predictions)
+from face_detection_multi_scale_tpu.models.head import decode
+from face_detection_multi_scale_tpu.models.spec import ModelSpec
+from face_detection_multi_scale_tpu.ops import nms as NMS
+from face_detection_multi_scale_tpu.ops.boxes import xywh2xyxy
+
+
+def validate(model, variables, dataset: FaceDataset, *,
+             batch_size: int = 32, conf_thres: float = 0.001,
+             iou_thres: float = 0.6, max_det: int = 300,
+             verbose: bool = True) -> Dict[str, float]:
+    """Run the mAP protocol; labels come from the dataset (normalized to
+    the letterboxed frame), predictions and GT are both mapped to native
+    space before matching (test.py:172-279)."""
+    spec: ModelSpec = model.spec
+    img_size = dataset.img_size
+
+    import functools
+
+    @jax.jit
+    def run(variables, images_u8):
+        x = images_u8.astype(np.float32) / 255.0
+        raws = model.apply(variables, x, train=False)
+        preds = decode(raws, spec)
+        return NMS.non_max_suppression(
+            preds, conf_thres, iou_thres, nc=spec.nc, nkpt=spec.nkpt,
+            max_candidates=4096, max_det=max_det)
+
+    loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    stats = []
+    t_infer = 0.0
+    n_images = 0
+    for images, labels, paths, shapes in loader:
+        t0 = time.perf_counter()
+        dets = run(variables, images)
+        rows_list = NMS.detections_to_numpy(dets)
+        t_infer += time.perf_counter() - t0
+        for bi, rows in enumerate(rows_list):
+            n_images += 1
+            (h0, w0), ((rh, rw), pad) = shapes[bi]
+            l = labels[labels[:, 0] == bi]
+            tcls = l[:, 1]
+            pred = rows[:, :6].astype(np.float64).copy()
+            if len(pred):
+                scale_coords((img_size, img_size), pred[:, :4],
+                             (h0, w0), ratio_pad=((rh, rw), pad))
+            if len(l):
+                tbox = np.asarray(xywh2xyxy(
+                    l[:, 2:6] * [img_size, img_size, img_size, img_size]))
+                tbox = scale_coords((img_size, img_size),
+                                    tbox.astype(np.float64), (h0, w0),
+                                    ratio_pad=((rh, rw), pad))
+                correct = match_predictions(pred, tbox, tcls)
+            else:
+                correct = np.zeros((len(pred), len(IOUV)), bool)
+            stats.append((correct, pred[:, 4] if len(pred) else
+                          np.zeros(0), pred[:, 5] if len(pred) else
+                          np.zeros(0), tcls))
+
+    out = {"mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0,
+           "images": n_images,
+           "ms_per_image": 1000 * t_infer / max(n_images, 1)}
+    if stats:
+        tp = np.concatenate([s[0] for s in stats])
+        conf = np.concatenate([s[1] for s in stats])
+        pcls = np.concatenate([s[2] for s in stats])
+        tcls = np.concatenate([s[3] for s in stats])
+        if tp.size and tcls.size:
+            p, r, ap, f1, _ = ap_per_class(tp, conf, pcls, tcls)
+            out.update(mp=float(p.mean()), mr=float(r.mean()),
+                       map50=float(ap[:, 0].mean()),
+                       map=float(ap.mean()))
+    if verbose:
+        print(f"val: {out['images']} images  P {out['mp']:.4f}  "
+              f"R {out['mr']:.4f}  mAP50 {out['map50']:.4f}  "
+              f"mAP {out['map']:.4f}  "
+              f"{out['ms_per_image']:.1f} ms/img")
+    return out

@@ -1,0 +1,132 @@
+"""Dataset/augmentation parity: seeded full-pipeline comparison against the
+reference LoadImagesAndLabels (same global-RNG draw order)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from face_detection_multi_scale_tpu.data.dataset import (
+    DataLoader, FaceDataset, collate, load_label_file)
+from face_detection_multi_scale_tpu.train.hyp import HYP_SCRATCH_P5
+
+from oracle import import_reference
+
+ref = import_reference()
+
+NKPT = 5
+
+
+def make_fake_widerface(root, n_images=6, seed=0):
+    """Synthetic images + 5-landmark labels in the expected layout."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img_dir = root / "images" / "0--Ev"
+    lbl_dir = root / "labels" / "0--Ev"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(n_images):
+        h = int(rng.integers(200, 500))
+        w = int(rng.integers(200, 500))
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"), img)
+        n = int(rng.integers(1, 4))
+        rows = []
+        for _ in range(n):
+            cx, cy = rng.uniform(0.3, 0.7, 2)
+            bw, bh = rng.uniform(0.1, 0.25, 2)
+            kpts = []
+            for _ in range(NKPT):
+                kx = cx + rng.uniform(-bw / 3, bw / 3)
+                ky = cy + rng.uniform(-bh / 3, bh / 3)
+                kpts += [kx, ky, 2.0]
+            rows.append([0, cx, cy, bw, bh] + kpts)
+        with open(lbl_dir / f"im{i}.txt", "w") as f:
+            for r in rows:
+                f.write(" ".join(f"{v:.6f}" for v in r) + "\n")
+    return str(root / "images")
+
+
+@pytest.fixture(scope="module")
+def fake_data(tmp_path_factory):
+    return make_fake_widerface(tmp_path_factory.mktemp("wf"))
+
+
+def build_both(fake_data, augment, hyp):
+    ours = FaceDataset(fake_data, img_size=192, augment=augment, hyp=hyp,
+                       kpt_label=NKPT)
+    datasets = ref("utils.datasets")
+    theirs = datasets.LoadImagesAndLabels(
+        fake_data, img_size=192, batch_size=4, augment=augment, hyp=hyp,
+        rect=False, kpt_label=NKPT)
+    return ours, theirs
+
+
+def compare_item(ours, theirs, index, seed):
+    random.seed(seed)
+    np.random.seed(seed)
+    img_t, labels_t, path_t, _ = theirs[index]
+    random.seed(seed)
+    np.random.seed(seed)
+    img_o, labels_o, path_o, _ = ours.get(index)
+
+    # reference returns CHW RGB torch tensor
+    want = img_t.numpy().transpose(1, 2, 0)
+    np.testing.assert_array_equal(img_o, want)
+    want_l = labels_t.numpy()
+    assert labels_o.shape[0] == want_l.shape[0]
+    if len(labels_o):
+        np.testing.assert_allclose(labels_o, want_l[:, 1:], atol=1e-5)
+    assert os.path.basename(path_o) == os.path.basename(path_t)
+
+
+def test_plain_parity(fake_data):
+    hyp = dict(HYP_SCRATCH_P5)
+    ours, theirs = build_both(fake_data, augment=False, hyp=hyp)
+    for i in range(len(ours)):
+        compare_item(ours, theirs, i, seed=100 + i)
+
+
+def test_augmented_parity_mosaic(fake_data):
+    hyp = dict(HYP_SCRATCH_P5, mosaic=1.0, mixup=0.5, fliplr=0.5,
+               flipud=0.3)
+    ours, theirs = build_both(fake_data, augment=True, hyp=hyp)
+    for i in range(len(ours)):
+        for seed in (7, 42):
+            compare_item(ours, theirs, i, seed=seed * 10 + i)
+
+
+def test_augmented_parity_no_mosaic(fake_data):
+    hyp = dict(HYP_SCRATCH_P5, mosaic=0.0, translate=0.1, scale=0.5,
+               degrees=5.0, shear=2.0, fliplr=0.5)
+    ours, theirs = build_both(fake_data, augment=True, hyp=hyp)
+    for i in range(len(ours)):
+        compare_item(ours, theirs, i, seed=500 + i)
+
+
+def test_label_loading_strips_occlusion(fake_data):
+    ours = FaceDataset(fake_data, img_size=192, kpt_label=NKPT)
+    for l in ours.labels:
+        assert l.shape[1] == 5 + 2 * NKPT
+        assert (l >= 0).all()
+
+
+def test_dataloader_shards_and_batches(fake_data):
+    ds = FaceDataset(fake_data, img_size=192, augment=False, hyp={})
+    full = DataLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(full)
+    assert len(batches) == len(ds) // 2
+    imgs, labels, paths, shapes = batches[0]
+    assert imgs.shape == (2, 192, 192, 3) and imgs.dtype == np.uint8
+    assert labels.shape[1] == 6 + 2 * NKPT
+    # host sharding partitions the index space
+    a = DataLoader(ds, batch_size=1, shuffle=True, seed=1, num_hosts=2,
+                   host_id=0)
+    b = DataLoader(ds, batch_size=1, shuffle=True, seed=1, num_hosts=2,
+                   host_id=1)
+    pa = {p for _, _, ps, _ in a for p in ps}
+    pb = {p for _, _, ps, _ in b for p in ps}
+    assert not (pa & pb)
+    assert len(pa | pb) == len(ds)
