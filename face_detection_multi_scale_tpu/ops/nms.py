@@ -90,6 +90,62 @@ def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
     return keep_idx, keep_valid
 
 
+def nms_keep_matrix(boxes: jnp.ndarray, scores: jnp.ndarray,
+                    iou_thres: float, max_det: int
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU-fast exact greedy NMS via the suppression-matrix fixpoint.
+
+    Same output contract as `nms_indices` but O(K^2) vectorized work per
+    fixpoint sweep instead of max_det sequential argmax steps: sort by
+    score, build the pairwise IoU > thr matrix restricted to
+    higher-scoring suppressors (strict lower triangle in sorted order),
+    then iterate ``keep = valid & ~any(sup & keep)`` with a
+    `lax.while_loop` until convergence. The fixpoint equals sequential
+    greedy NMS (a box is suppressed iff some kept higher-score box
+    overlaps it); convergence takes at most the longest suppression-chain
+    depth, typically < 10 sweeps.
+    """
+    boxes = jnp.asarray(boxes)
+    scores = jnp.asarray(scores)
+    k = boxes.shape[0]
+    order = jnp.argsort(-scores)  # descending, ties by index
+    b = boxes[order]
+    s = scores[order]
+    valid = s > NEG_INF / 2
+
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    areas = jnp.clip(x2 - x1, 0, None) * jnp.clip(y2 - y1, 0, None)
+    iw = jnp.clip(jnp.minimum(x2[:, None], x2[None, :])
+                  - jnp.maximum(x1[:, None], x1[None, :]), 0, None)
+    ih = jnp.clip(jnp.minimum(y2[:, None], y2[None, :])
+                  - jnp.maximum(y1[:, None], y1[None, :]), 0, None)
+    inter = iw * ih
+    iou = inter / (areas[:, None] + areas[None, :] - inter)
+    idx = jnp.arange(k)
+    # sup[i, j]: candidate i can be suppressed by higher-ranked j
+    sup = (iou > iou_thres) & (idx[None, :] < idx[:, None]) & valid[None, :]
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.any(keep != prev) & (it < k)
+
+    def body(carry):
+        keep, _, it = carry
+        new = valid & ~jnp.any(sup & keep[None, :], axis=1)
+        return new, keep, it + 1
+
+    keep0 = valid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.array(0)))
+
+    # first max_det kept candidates in score order
+    pos = jnp.where(keep, idx, k)
+    neg_top, sel = jax.lax.top_k(-pos, max_det)
+    sel_valid = (-neg_top) < k
+    keep_idx = jnp.where(sel_valid, order[sel], 0).astype(jnp.int32)
+    return keep_idx, sel_valid
+
+
 def _postprocess_single(pred: jnp.ndarray, *, nc: int, nkpt: int,
                         conf_thres: float, iou_thres: float,
                         max_candidates: int, max_det: int,
@@ -112,7 +168,8 @@ def _postprocess_single(pred: jnp.ndarray, *, nc: int, nkpt: int,
 
     offset = jnp.zeros_like(top_cls) if (agnostic or nc == 1) else top_cls
     nms_boxes = top_boxes + (offset * MAX_WH)[:, None]
-    keep_idx, keep_valid = nms_indices(nms_boxes, top_conf, iou_thres, max_det)
+    keep_idx, keep_valid = nms_keep_matrix(nms_boxes, top_conf, iou_thres,
+                                           max_det)
 
     return Detections(
         boxes=top_boxes[keep_idx],
@@ -189,4 +246,4 @@ def weighted_nms(boxes: jnp.ndarray, conf: jnp.ndarray,
     (multi_scale_face_detector.py:203-240)."""
     w = scale_weights(boxes, scale_idx, num_scales)
     weighted = jnp.where(valid, conf * w, NEG_INF)
-    return nms_indices(boxes, weighted, iou_thres, max_det)
+    return nms_keep_matrix(boxes, weighted, iou_thres, max_det)

@@ -51,6 +51,27 @@ def test_nms_indices_vs_greedy(n, iou_thres, seed):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("n,iou_thres,seed", [
+    (64, 0.45, 0), (256, 0.5, 1), (1024, 0.6, 2), (8, 0.3, 3),
+    (512, 0.9, 4),  # high threshold -> long suppression chains
+])
+def test_nms_matrix_vs_greedy(n, iou_thres, seed):
+    boxes, scores = random_dets(n, seed)
+    want = greedy_nms_numpy(boxes, scores, iou_thres)
+    idx, valid = N.nms_keep_matrix(boxes, scores, iou_thres, max_det=n)
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_matrix_with_invalid_rows():
+    boxes, scores = random_dets(128, 9)
+    scores[50:] = N.NEG_INF  # masked candidates
+    want = greedy_nms_numpy(boxes[:50], scores[:50], 0.5)
+    idx, valid = N.nms_keep_matrix(boxes, scores, 0.5, max_det=128)
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_nms_respects_max_det():
     boxes, scores = random_dets(500, 7)
     idx, valid = N.nms_indices(boxes, scores, 0.99, max_det=10)
