@@ -26,6 +26,17 @@ import numpy as np
 THRESH_NUM = 1000
 
 
+def _overlaps(boxes, query):
+    """Use the native C++ IoU kernel when built, numpy otherwise."""
+    try:
+        from face_detection_multi_scale_tpu import native
+        if native.available():
+            return native.bbox_overlaps_plus1(boxes, query)
+    except Exception:
+        pass
+    return bbox_overlaps_plus1(boxes, query)
+
+
 def bbox_overlaps_plus1(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
     """Pairwise IoU with the +1 pixel convention of the reference Cython
     kernel (widerface_evaluate/box_overlaps.pyx:15-55): (N,4)x(K,4)->(N,K).
@@ -123,7 +134,7 @@ def image_eval(pred: np.ndarray, gt: np.ndarray, ignore: np.ndarray,
     p[:, 3] += p[:, 1]
     g[:, 2] += g[:, 0]
     g[:, 3] += g[:, 1]
-    overlaps = bbox_overlaps_plus1(p[:, :4], g)
+    overlaps = _overlaps(p[:, :4], g)
 
     pred_recall = np.zeros(len(p), np.int64)
     recall_list = np.zeros(len(g), np.int64)
