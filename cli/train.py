@@ -56,7 +56,20 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--val-batch-size", type=int, default=None)
     ap.add_argument("--log-interval", type=int, default=50)
+    ap.add_argument("--evolve", type=int, nargs="?", const=300,
+                    default=None, metavar="GENERATIONS",
+                    help="hyperparameter evolution mode (train.py:674-754)")
+    ap.add_argument("--wandb", action="store_true",
+                    help="log to Weights & Biases if available")
+    ap.add_argument("--no-tensorboard", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.evolve:
+        return run_evolve(args)
+    return train_run(args)
+
+
+def train_run(args, hyp_override=None, quiet=False):
 
     import jax
     import jax.numpy as jnp
@@ -87,7 +100,7 @@ def main(argv=None):
     ckpt_dir = save_dir / "weights"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
-    hyp = get_hyp(args.hyp)
+    hyp = dict(hyp_override) if hyp_override else get_hyp(args.hyp)
     data = load_data_config(args.data)
     nc = int(data.get("nc", 1))
 
@@ -95,6 +108,10 @@ def main(argv=None):
             else zoo.get_spec(args.model))
     if nc != spec.nc:
         spec.nc = nc
+
+    from face_detection_multi_scale_tpu.utils.profiling import MetricsLogger
+    logger = MetricsLogger(str(save_dir), use_tensorboard=not args.no_tensorboard,
+                           use_wandb=args.wandb, config=vars(args))
 
     # snapshot run config (train.py:54-57)
     with open(save_dir / "opt.json", "w") as f:
@@ -184,10 +201,17 @@ def main(argv=None):
                 nb += 1
                 if nb % args.log_interval == 0 and is_main_process():
                     c = mloss / nb
-                    print(f"epoch {epoch} step {nb}/{steps_per_epoch} "
-                          f"box {c[0]:.4f} obj {c[1]:.4f} cls {c[2]:.4f} "
-                          f"kpt {c[3]:.4f} kptv {c[4]:.4f} "
-                          f"total {c[5]:.4f}")
+                    gstep = epoch * steps_per_epoch + nb
+                    logger.log(gstep, {
+                        "train/box_loss": c[0], "train/obj_loss": c[1],
+                        "train/cls_loss": c[2], "train/kpt_loss": c[3],
+                        "train/kptv_loss": c[4], "train/total_loss": c[5],
+                        "x/lr": float(cfg.lr_at(gstep, "kernel"))})
+                    if not quiet:
+                        print(f"epoch {epoch} step {nb}/{steps_per_epoch} "
+                              f"box {c[0]:.4f} obj {c[1]:.4f} cls {c[2]:.4f} "
+                              f"kpt {c[3]:.4f} kptv {c[4]:.4f} "
+                              f"total {c[5]:.4f}")
             dt = time.time() - t0
             c = mloss / max(nb, 1)
 
@@ -202,6 +226,13 @@ def main(argv=None):
                         batch_size=args.val_batch_size or args.batch_size)
                     fit = fitness(results["mp"], results["mr"],
                                   results["map50"], results["map"])
+                if results:
+                    logger.log((epoch + 1) * steps_per_epoch, {
+                        "metrics/precision": results["mp"],
+                        "metrics/recall": results["mr"],
+                        "metrics/mAP_0.5": results["map50"],
+                        "metrics/mAP_0.5:0.95": results["map"],
+                        "metrics/fitness": fit})
                 with open(results_path, "a") as f:
                     f.write(f"{epoch} " + " ".join(
                         f"{v:.5f}" for v in c) + " " + json.dumps(results)
@@ -222,7 +253,42 @@ def main(argv=None):
             CKPT.save_inference_weights(
                 str(ckpt_dir / "best_inference.npz"),
                 CKPT.strip_to_inference(state))
+    logger.close()
     print(f"training complete -> {save_dir}")
+    train_run.last = {"fitness": best_fitness, "save_dir": str(save_dir)}
+    return 0
+
+
+def run_evolve(args):
+    """Hyperparameter evolution: short training runs per generation,
+    fitness-ranked ledger (reference train.py:674-754)."""
+    import dataclasses
+
+    from face_detection_multi_scale_tpu.train.evolve import evolve
+    from face_detection_multi_scale_tpu.train.hyp import get_hyp
+
+    base_hyp = get_hyp(args.hyp)
+    gen_args = argparse.Namespace(**vars(args))
+    gen_args.evolve = None
+    gen_args.noval = False
+    gen_args.exist_ok = True
+
+    counter = {"gen": 0}
+
+    def train_once(hyp):
+        counter["gen"] += 1
+        gen_args.name = f"{args.name}_evolve{counter['gen']}"
+        train_run(gen_args, hyp_override=hyp, quiet=True)
+        info = getattr(train_run, "last", {})
+        return float(info.get("fitness", -1.0)), info
+
+    ledger = str(Path(args.project) / "evolve.txt")
+    best = evolve(train_once, base_hyp, generations=args.evolve,
+                  ledger_path=ledger, seed=args.seed)
+    out = Path(args.project) / "hyp_evolved.json"
+    with open(out, "w") as f:
+        json.dump(best, f, indent=2)
+    print(f"evolution complete; best hyp -> {out}")
     return 0
 
 

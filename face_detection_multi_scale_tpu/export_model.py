@@ -1,0 +1,118 @@
+"""Model export for deployment.
+
+The reference exports TorchScript / ONNX / CoreML (reference
+models/export.py:85-149) and raw-head ONNX for the ncnn C++ app
+(reference cpp/export.py:62-70). The TPU-native equivalents here:
+
+  * StableHLO via jax.export — a portable serialized artifact with the
+    weights baked in, re-loadable on any XLA backend (TPU/CPU/GPU),
+    optionally with the full postprocess (decode + fixed-capacity NMS)
+    fused in, the analog of --export-nms (models/export.py:78,105).
+  * TF SavedModel via jax2tf — the serving-container path.
+  * raw-head mode: per-stride undecoded maps, the cpp/export.py contract
+    for external runtimes (consumed by native/postprocess.cpp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build_fn(model, variables, spec, *, include_postprocess: bool,
+              raw_heads: bool, conf_thres: float, iou_thres: float,
+              max_det: int, dtype):
+    from face_detection_multi_scale_tpu.models.head import decode
+    from face_detection_multi_scale_tpu.ops import nms as NMS
+
+    def fn(images_u8):
+        x = images_u8.astype(dtype) / 255.0
+        raws = model.apply(variables, x, train=False)
+        if raw_heads:
+            return tuple(raws)  # per-stride (bs, na, ny, nx, no) maps
+        preds = decode(raws, spec)
+        if not include_postprocess:
+            return preds
+        d = NMS.non_max_suppression(
+            preds, conf_thres, iou_thres, nc=spec.nc, nkpt=spec.nkpt,
+            max_candidates=2048, max_det=max_det)
+        return d.boxes, d.scores, d.classes, d.extras, d.valid
+
+    return fn
+
+
+def export_stablehlo(model, variables, spec, path: str, *,
+                     img_size: int = 640, batch: int = 1,
+                     include_postprocess: bool = True,
+                     raw_heads: bool = False, conf_thres: float = 0.25,
+                     iou_thres: float = 0.45, max_det: int = 300,
+                     dtype=jnp.float32,
+                     platforms: Optional[Sequence[str]] = None) -> str:
+    """Serialize the jitted inference function (weights baked in) to a
+    .stablehlo artifact + a JSON sidecar describing the contract."""
+    from jax import export as jexport
+
+    fn = _build_fn(model, variables, spec,
+                   include_postprocess=include_postprocess,
+                   raw_heads=raw_heads, conf_thres=conf_thres,
+                   iou_thres=iou_thres, max_det=max_det, dtype=dtype)
+    x_spec = jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.uint8)
+    exported = jexport.export(
+        jax.jit(fn),
+        platforms=platforms)(x_spec)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    meta = {
+        "model": spec.name, "img_size": img_size, "batch": batch,
+        "include_postprocess": include_postprocess, "raw_heads": raw_heads,
+        "conf_thres": conf_thres, "iou_thres": iou_thres,
+        "max_det": max_det, "nkpt": spec.nkpt, "nc": spec.nc,
+        "strides": list(spec.strides),
+        "input": "uint8 NHWC RGB, network-input frame",
+        "output": ("per-stride raw maps" if raw_heads else
+                   ("boxes,scores,classes,extras,valid" if
+                    include_postprocess else "decoded (bs, N, no)")),
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_stablehlo(path: str):
+    """Deserialize an exported artifact; returns a callable."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+    return jax.jit(exported.call)
+
+
+def export_savedmodel(model, variables, spec, path: str, *,
+                      img_size: int = 640, batch: int = 1,
+                      include_postprocess: bool = True,
+                      conf_thres: float = 0.25, iou_thres: float = 0.45,
+                      max_det: int = 300, dtype=jnp.float32) -> str:
+    """TF SavedModel via jax2tf for serving containers."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    fn = _build_fn(model, variables, spec,
+                   include_postprocess=include_postprocess,
+                   raw_heads=False, conf_thres=conf_thres,
+                   iou_thres=iou_thres, max_det=max_det, dtype=dtype)
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        input_signature=[tf.TensorSpec((batch, img_size, img_size, 3),
+                                       tf.uint8)],
+        autograph=False)
+    module = tf.Module()
+    module.serve = tf_fn
+    tf.saved_model.save(module, path,
+                        signatures={"serving_default": tf_fn})
+    return path

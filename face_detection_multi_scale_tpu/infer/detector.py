@@ -226,6 +226,112 @@ class FaceDetector:
             out.append(rows)
         return out
 
+    # ------------------------------------------------------------------
+    # visualization / export helpers
+    # (reference multi_scale_face_detector.py:290-688)
+    # ------------------------------------------------------------------
+
+    def save_detection_result(self, img, detections, output_path: str):
+        """Draw final multi-scale detections on the image and save
+        (multi_scale_face_detector.py:424-490)."""
+        import cv2
+
+        from face_detection_multi_scale_tpu.utils.plotting import (
+            draw_detection)
+
+        img0 = self._load(img).copy()
+        for det in np.asarray(detections):
+            scale_idx = int(det[6]) if len(det) >= 7 else -1
+            scale = (self.img_sizes[scale_idx]
+                     if 0 <= scale_idx < len(self.img_sizes) else "?")
+            draw_detection(img0, det[:4], det[4], 0,
+                           f"{det[4]:.2f}@{scale}")
+        cv2.imwrite(output_path, img0)
+        return output_path
+
+    def visualize_multi_scale_results(self, img, save_path: str):
+        """Per-scale detection grid: one panel per pyramid scale plus the
+        weighted-NMS merge (multi_scale_face_detector.py:290-422)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        img0 = self._load(img)
+        rgb = img0[:, :, ::-1]
+        per_scale = []
+        for size in self.img_sizes:
+            det, _, _ = self.detect_single_scale(img0, size)
+            per_scale.append(det)
+        final, _ = self.detect_multi_scale(img0)
+
+        n = len(self.img_sizes) + 1
+        fig, axes = plt.subplots(1, n, figsize=(6 * n, 6))
+        panels = list(zip([f"scale {s}" for s in self.img_sizes],
+                          per_scale)) + [("weighted NMS merge", final)]
+        for ax, (title, dets) in zip(np.atleast_1d(axes), panels):
+            ax.imshow(rgb)
+            for d in dets:
+                x1, y1, x2, y2 = d[:4]
+                ax.add_patch(plt.Rectangle((x1, y1), x2 - x1, y2 - y1,
+                                           fill=False, color="lime",
+                                           linewidth=1.5))
+            ax.set_title(f"{title}: {len(dets)} faces")
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(save_path, dpi=100)
+        plt.close(fig)
+        return per_scale, final
+
+    def export_to_json(self, detections, img0_shape, path: str):
+        """Single-image Triton-style JSON export
+        (multi_scale_face_detector.py:574-616)."""
+        import json
+
+        from face_detection_multi_scale_tpu.infer.production import (
+            frames_to_json)
+
+        dets = np.asarray(detections)
+        frame = {
+            "bboxes": [[float(v) for v in d[:4]] for d in dets],
+            "confidence": [float(d[4]) for d in dets],
+            "class_names": ["face"] * len(dets),
+            "class_indexes": [int(d[5]) for d in dets],
+            "class_groups": ["face"] * len(dets),
+            "scale_used": [str(self.img_sizes[int(d[6])])
+                           if 0 <= int(d[6]) < len(self.img_sizes)
+                           else "unknown" for d in dets],
+            "num_faces": len(dets),
+            "infer_time": 0.0,
+        }
+        data = frames_to_json([frame], 0.0)
+        with open(path, "w") as f:
+            json.dump(data, f, indent=2)
+        return path
+
+    def compare_preprocessing_methods(self, img, img_size: Optional[int]
+                                      = None):
+        """Quantitative A/B of API vs standard preprocessing on one image
+        (multi_scale_face_detector.py:618-688): runs both, returns
+        detection counts and mean confidences."""
+        size = img_size or self.img_sizes[0]
+        img0 = self._load(img)
+        saved = self.use_api_preprocess
+        out = {}
+        try:
+            for mode, flag in (("api", True), ("standard", False)):
+                self.use_api_preprocess = flag
+                det, _, dt = self.detect_single_scale(img0, size)
+                out[mode] = {
+                    "count": int(len(det)),
+                    "mean_conf": float(det[:, 4].mean()) if len(det)
+                    else 0.0,
+                    "seconds": dt,
+                }
+        finally:
+            self.use_api_preprocess = saved
+        return out
+
     def warmup(self, img_size: Optional[int] = None, batch: int = 1):
         """Compile the executable for a size ahead of time (reference
         warmup forward, detect.py:64-65)."""
