@@ -58,7 +58,8 @@ def run_val(args, img_size):
                      hyp={}, kpt_label=args.kpt_label,
                      stride=spec.max_stride)
     return validate(model, variables, ds, batch_size=args.batch_size,
-                    conf_thres=args.conf_thres, iou_thres=args.iou_thres)
+                    conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+                    augment=args.augment, flip_test=args.flip_test)
 
 
 def run_speed(args, img_size):
@@ -109,6 +110,10 @@ def main(argv=None):
     ap.add_argument("--kpt-label", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--augment", action="store_true",
+                    help="scale/flip TTA (models/yolo.py:363-374)")
+    ap.add_argument("--flip-test", action="store_true",
+                    help="lr-flip fusion (test.py:145-151)")
     args = ap.parse_args(argv)
 
     if args.task in ("val", "test"):

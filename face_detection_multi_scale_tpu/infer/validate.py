@@ -27,6 +27,7 @@ from face_detection_multi_scale_tpu.ops.boxes import xywh2xyxy
 def validate(model, variables, dataset: FaceDataset, *,
              batch_size: int = 32, conf_thres: float = 0.001,
              iou_thres: float = 0.6, max_det: int = 300,
+             augment: bool = False, flip_test: bool = False,
              verbose: bool = True) -> Dict[str, float]:
     """Run the mAP protocol; labels come from the dataset (normalized to
     the letterboxed frame), predictions and GT are both mapped to native
@@ -36,11 +37,19 @@ def validate(model, variables, dataset: FaceDataset, *,
 
     import functools
 
+    from face_detection_multi_scale_tpu.infer.augment import (
+        forward_augment, forward_flip_test)
+
     @jax.jit
     def run(variables, images_u8):
         x = images_u8.astype(np.float32) / 255.0
-        raws = model.apply(variables, x, train=False)
-        preds = decode(raws, spec)
+        if augment:
+            preds = forward_augment(model, variables, x)
+        elif flip_test:
+            preds = forward_flip_test(model, variables, x)
+        else:
+            raws = model.apply(variables, x, train=False)
+            preds = decode(raws, spec)
         return NMS.non_max_suppression(
             preds, conf_thres, iou_thres, nc=spec.nc, nkpt=spec.nkpt,
             max_candidates=4096, max_det=max_det)

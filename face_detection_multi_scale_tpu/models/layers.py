@@ -102,9 +102,15 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        p = autopad(self.k, self.p)
-        x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
-                    padding=[(p, p), (p, p)], feature_group_count=self.g,
+        k = self.k if isinstance(self.k, (tuple, list)) else (self.k, self.k)
+        if self.p is None:
+            pads = [(kk // 2, kk // 2) for kk in k]
+        elif isinstance(self.p, (tuple, list)):
+            pads = [(pp, pp) for pp in self.p]
+        else:
+            pads = [(self.p, self.p)] * 2
+        x = nn.Conv(self.c2, tuple(k), strides=(self.s, self.s),
+                    padding=pads, feature_group_count=self.g,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)

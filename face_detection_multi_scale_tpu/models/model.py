@@ -48,7 +48,9 @@ class YoloFace(nn.Module):
         op, args, d = node.op, node.args, self.dtype
         c1, c2 = node.c1, node.c2
         if op == "Conv":
-            k = int(args[1]) if len(args) > 1 else 1
+            k = args[1] if len(args) > 1 else 1
+            k = tuple(int(v) for v in k) if isinstance(k, (list, tuple)) \
+                else int(k)
             s = int(args[2]) if len(args) > 2 else 1
             p = args[3] if len(args) > 3 else None
             g = int(args[4]) if len(args) > 4 and not isinstance(args[4], str) else 1
@@ -124,6 +126,15 @@ class YoloFace(nn.Module):
                 x = inp[0] + 0.5 * inp[1]
             elif op == "Upsample":
                 x = L.upsample2x_nearest(inp)
+            elif op == "ZeroPad2d":
+                # torch padding order (left, right, top, bottom)
+                pl, pr, pt, pb = (int(v) for v in node.args[0])
+                x = jnp.pad(inp, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+            elif op == "MaxPool2d":
+                k = int(node.args[0])
+                st = int(node.args[1]) if len(node.args) > 1 else k
+                pd = int(node.args[2]) if len(node.args) > 2 else 0
+                x = L.max_pool(inp, k, st, pd)
             elif op == "MP":
                 k = int(node.args[0]) if node.args else 2
                 x = L.max_pool(inp, k, k, 0)
@@ -159,6 +170,22 @@ def init_model(spec: ModelSpec, key=None, img_size: int = 64,
     dummy = jnp.zeros((1, img_size, img_size, 3), dtype)
     variables = model.init(key, dummy, train=False)
     return model, variables
+
+
+def compute_strides(spec: ModelSpec, img_size: int = 128):
+    """Derive per-level strides from a dummy forward (the reference's
+    stride computation, models/yolo.py:345) and write them back into the
+    spec. Needed for configs whose pyramid doesn't start at P3 (e.g.
+    models/hub/yolov3-tiny.yaml is P4/P5)."""
+    spec.resolve()
+    model = YoloFace(spec=spec)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, img_size, img_size, 3)),
+                           train=False)
+    raws = model.apply(variables, jnp.zeros((1, img_size, img_size, 3)),
+                       train=False)
+    spec.strides = tuple(img_size // r.shape[2] for r in raws)
+    return spec.strides
 
 
 def forward_infer(model: YoloFace, variables, images: jnp.ndarray):

@@ -158,8 +158,9 @@ class ModelSpec:
 
 
 def _parse_yaml_module(name: str) -> str:
-    return {"nn.Upsample": "Upsample", "nn.BatchNorm2d": "BatchNorm"}.get(
-        name, name)
+    return {"nn.Upsample": "Upsample", "nn.BatchNorm2d": "BatchNorm",
+            "nn.MaxPool2d": "MaxPool2d",
+            "nn.ZeroPad2d": "ZeroPad2d"}.get(name, name)
 
 
 def _parse_yaml_arg(a: Any) -> Any:
