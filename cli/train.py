@@ -132,6 +132,14 @@ def train_run(args, hyp_override=None, quiet=False):
                              kpt_label=args.kpt_label,
                              stride=spec.max_stride)
 
+    if is_main_process():
+        try:
+            from face_detection_multi_scale_tpu.utils.train_plots import (
+                plot_labels)
+            plot_labels(train_ds.labels, str(save_dir))
+        except Exception as e:
+            print(f"plot_labels skipped: {e}")
+
     if not args.noautoanchor:
         anchors, bpr = check_anchors(train_ds.labels, train_ds.shapes,
                                      spec, thr=hyp["anchor_t"],
@@ -189,6 +197,15 @@ def train_run(args, hyp_override=None, quiet=False):
             mloss = np.zeros(6)
             nb = 0
             for images, labels, paths, shapes in loader:
+                if epoch == start_epoch and nb < 3 and is_main_process():
+                    try:
+                        from face_detection_multi_scale_tpu.utils.\
+train_plots import plot_images
+                        plot_images(images, labels, paths,
+                                    str(save_dir / f"train_batch{nb}.jpg"),
+                                    nkpt=args.kpt_label)
+                    except Exception:
+                        pass
                 targets = build_targets_batched(
                     labels, len(images), spec, grid_shapes,
                     anchor_t=hyp["anchor_t"])
