@@ -55,6 +55,8 @@ def main(argv=None):
     ap.add_argument("--exist-ok", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--val-batch-size", type=int, default=None)
+    ap.add_argument("--nominal-batch", type=int, default=64,
+                    help="accumulate gradients up to this total batch")
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--evolve", type=int, nargs="?", const=300,
                     default=None, metavar="GENERATIONS",
@@ -92,7 +94,8 @@ def train_run(args, hyp_override=None, quiet=False):
     from face_detection_multi_scale_tpu.train.targets import (
         build_targets_batched)
     from face_detection_multi_scale_tpu.train.trainer import (
-        TrainConfig, create_train_state, make_train_step)
+        TrainConfig, create_train_state, make_accum_steps,
+        make_train_step, zero_grads_like)
 
     from cli.detect import increment_path
 
@@ -182,7 +185,14 @@ def train_run(args, hyp_override=None, quiet=False):
         best_fitness = float(meta.get("best_fitness", -1.0))
         print(f"resumed from epoch {start_epoch}")
 
-    step_fn = make_train_step(model, cfg, hyp, args.img_size)
+    # gradient accumulation to the nominal batch 64 (train.py:157,437)
+    accumulate = max(round(args.nominal_batch / args.batch_size), 1)
+    if accumulate > 1:
+        grad_fn, apply_fn = make_accum_steps(model, cfg, hyp,
+                                             args.img_size)
+        print(f"accumulating gradients over {accumulate} micro-batches")
+    else:
+        step_fn = make_train_step(model, cfg, hyp, args.img_size)
     mesh = make_data_mesh()
     grid_shapes = [(args.img_size // s, args.img_size // s)
                    for s in spec.strides]
@@ -213,7 +223,17 @@ train_plots import plot_images
                 targets_d = jax.tree.map(
                     lambda x: jax.device_put(jnp.asarray(x), data_sh),
                     targets)
-                state, loss, comps = step_fn(state, images_d, targets_d)
+                if accumulate > 1:
+                    if nb % accumulate == 0:
+                        grads_acc = zero_grads_like(state.params)
+                    state, grads_acc, loss, comps = grad_fn(
+                        state, images_d, targets_d, grads_acc)
+                    if (nb + 1) % accumulate == 0:
+                        state = apply_fn(state, grads_acc)
+                        grads_acc = zero_grads_like(state.params)
+                else:
+                    state, loss, comps = step_fn(state, images_d,
+                                                 targets_d)
                 mloss += np.asarray(comps)
                 nb += 1
                 if nb % args.log_interval == 0 and is_main_process():

@@ -146,11 +146,9 @@ def nms_keep_matrix(boxes: jnp.ndarray, scores: jnp.ndarray,
     return keep_idx, sel_valid
 
 
-def _postprocess_single(pred: jnp.ndarray, *, nc: int, nkpt: int,
-                        conf_thres: float, iou_thres: float,
-                        max_candidates: int, max_det: int,
-                        agnostic: bool) -> Detections:
-    """One image: pred (N, 5+nc+3*nkpt) decoded rows -> Detections."""
+def _gather_candidates(pred: jnp.ndarray, *, nc: int,
+                       conf_thres: float, k: int, agnostic: bool):
+    """One image: decoded rows -> top-k candidates sorted by conf."""
     obj = pred[:, 4]
     cls_conf = pred[:, 5:5 + nc] * obj[:, None]  # conf = obj * cls
     conf = cls_conf.max(axis=1)
@@ -160,38 +158,69 @@ def _postprocess_single(pred: jnp.ndarray, *, nc: int, nkpt: int,
 
     boxes = xywh2xyxy(pred[:, :4])
     masked_conf = jnp.where(gate, conf, NEG_INF)
-    k = min(max_candidates, pred.shape[0])
     top_conf, top_idx = jax.lax.top_k(masked_conf, k)
     top_boxes = boxes[top_idx]
     top_cls = cls[top_idx]
     extras = pred[top_idx, 5 + nc:]
-
     offset = jnp.zeros_like(top_cls) if (agnostic or nc == 1) else top_cls
     nms_boxes = top_boxes + (offset * MAX_WH)[:, None]
-    keep_idx, keep_valid = nms_keep_matrix(nms_boxes, top_conf, iou_thres,
-                                           max_det)
+    valid = top_conf > NEG_INF / 2
+    return top_boxes, top_conf, top_cls, extras, nms_boxes, valid
 
+
+def _select_kept(keep, boxes, conf, cls, extras, max_det):
+    """One image: first max_det kept candidates in score order."""
+    k = keep.shape[0]
+    idx = jnp.arange(k)
+    pos = jnp.where(keep, idx, k)
+    neg_top, sel = jax.lax.top_k(-pos, max_det)
+    sel_valid = (-neg_top) < k
+    sel = jnp.where(sel_valid, sel, 0)
     return Detections(
-        boxes=top_boxes[keep_idx],
-        scores=jnp.where(keep_valid, top_conf[keep_idx], 0.0),
-        classes=top_cls[keep_idx],
-        extras=extras[keep_idx],
-        valid=keep_valid,
+        boxes=boxes[sel],
+        scores=jnp.where(sel_valid, conf[sel], 0.0),
+        classes=cls[sel],
+        extras=extras[sel],
+        valid=sel_valid,
     )
 
 
 def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
                         iou_thres: float = 0.45, *, nc: int = 1,
                         nkpt: int = 5, max_candidates: int = 4096,
-                        max_det: int = 300,
-                        agnostic: bool = False) -> Detections:
+                        max_det: int = 300, agnostic: bool = False,
+                        backend: str = "auto") -> Detections:
     """Batched on-device NMS: pred (bs, N, 5+nc+3*nkpt) -> Detections with
-    leading batch dim. jit/vmap/shard_map friendly (static shapes only)."""
-    fn = functools.partial(
-        _postprocess_single, nc=nc, nkpt=nkpt, conf_thres=conf_thres,
-        iou_thres=iou_thres, max_candidates=max_candidates, max_det=max_det,
-        agnostic=agnostic)
-    return jax.vmap(fn)(pred)
+    leading batch dim. jit/vmap/shard_map friendly (static shapes only).
+
+    backend: "xla" = the jnp suppression-matrix fixpoint; "pallas" = the
+    VMEM-resident Pallas kernel (K multiple of 1024; ~2.5x faster and no
+    K^2 HBM matrix at the high-recall eval operating point); "auto" picks
+    pallas on TPU when K qualifies."""
+    k = min(max_candidates, pred.shape[1])
+    gather = functools.partial(_gather_candidates, nc=nc,
+                               conf_thres=conf_thres, k=k,
+                               agnostic=agnostic)
+    boxes, conf, cls, extras, nms_boxes, valid = jax.vmap(gather)(pred)
+
+    if backend == "auto":
+        on_tpu = jax.default_backend() not in ("cpu",)
+        backend = "pallas" if (on_tpu and k % 1024 == 0) else "xla"
+    if backend == "pallas":
+        from face_detection_multi_scale_tpu.ops.pallas_nms import (
+            nms_keep_pallas)
+        # candidates are already conf-sorted by top_k
+        keep = nms_keep_pallas(nms_boxes, valid, iou_thres)
+    else:
+        def keep_one(b, c):
+            idx, v = nms_keep_matrix(b, c, iou_thres, b.shape[0])
+            return jnp.zeros(b.shape[0], bool).at[idx].max(v)
+
+        keep = jax.vmap(keep_one)(nms_boxes,
+                                  jnp.where(valid, conf, NEG_INF))
+
+    select = functools.partial(_select_kept, max_det=max_det)
+    return jax.vmap(select)(keep, boxes, conf, cls, extras)
 
 
 def detections_to_numpy(dets: Detections):

@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: greedy-NMS suppression fixpoint entirely in VMEM.
+
+The jnp implementation (ops/nms.py `nms_keep_matrix`) materializes the
+(K, K) pairwise-IoU suppression matrix in HBM — at the high-recall eval
+operating point (K = 4096 candidates, batch 32) that is ~2 GB of HBM
+traffic per batch. This kernel keeps the boxes (K x 4 floats = 64 KB)
+resident in VMEM and RECOMPUTES IoU tile-by-tile inside each fixpoint
+sweep, so the K x K matrix never exists anywhere: HBM cost drops to the
+boxes + the keep vector, trading a few hundred VPU MFLOPs per sweep.
+
+Grid: one program per batch element. Inside: a `lax.while_loop` runs
+`keep = valid & ~any_{j<i}(iou[i,j] > thr & keep[j])` to convergence
+(identical output to sequential greedy NMS; sweeps = longest
+suppression-chain depth, typically < 10). Mosaic-friendly layout: the K
+candidates live as (N_TILES=8, K/8) 2-D arrays so each row tile is a
+static sublane slice within the first (8, 128) tile, and the per-tile
+(tile, K) IoU block is the largest live intermediate.
+
+Candidates must be pre-sorted by descending score with `valid` marking
+real rows — the same contract as nms_keep_matrix after its sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_TILES = 8  # row tiles per sweep; sublane count of the coord layout
+
+
+def _kernel(boxes_ref, valid_ref, keep_ref, *, iou_thres: float, k: int):
+    tile = k // N_TILES
+
+    # coordinates arrive as (1, 4, N_TILES, tile): component-major so each
+    # (N_TILES, tile) plane is one coordinate over all candidates
+    x1t = boxes_ref[0, 0]  # (N_TILES, tile)
+    y1t = boxes_ref[0, 1]
+    x2t = boxes_ref[0, 2]
+    y2t = boxes_ref[0, 3]
+    art = jnp.maximum(x2t - x1t, 0.0) * jnp.maximum(y2t - y1t, 0.0)
+
+    # flat (1, k) lane layouts for the "all columns" side
+    x1 = x1t.reshape(1, k)
+    y1 = y1t.reshape(1, k)
+    x2 = x2t.reshape(1, k)
+    y2 = y2t.reshape(1, k)
+    areas = art.reshape(1, k)
+    valid = valid_ref[0].reshape(1, k) > 0
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, k), 1)
+
+    def sweep(keep_i32):
+        keep = keep_i32 > 0  # (1, k)
+        tiles = []
+        for t in range(N_TILES):
+            r0 = t * tile
+            # row slice from the sublane layout: (1, tile) -> (tile, 1)
+            rx1 = x1t[t:t + 1, :].reshape(tile, 1)
+            ry1 = y1t[t:t + 1, :].reshape(tile, 1)
+            rx2 = x2t[t:t + 1, :].reshape(tile, 1)
+            ry2 = y2t[t:t + 1, :].reshape(tile, 1)
+            rar = art[t:t + 1, :].reshape(tile, 1)
+            iw = jnp.maximum(jnp.minimum(rx2, x2) - jnp.maximum(rx1, x1),
+                             0.0)
+            ih = jnp.maximum(jnp.minimum(ry2, y2) - jnp.maximum(ry1, y1),
+                             0.0)
+            inter = iw * ih  # (tile, k)
+            iou = inter / (rar + areas - inter)
+            row_ids = r0 + jax.lax.broadcasted_iota(
+                jnp.int32, (tile, k), 0)
+            sup = (iou > iou_thres) & (col_ids < row_ids) & keep
+            # (tile,) keep bits for this row tile -> (1, tile)
+            tiles.append((~jnp.any(sup, axis=1)).reshape(1, tile))
+        return (valid & jnp.concatenate(tiles, axis=1)).astype(jnp.int32)
+
+    def cond(carry):
+        keep, prev, it = carry
+        return jnp.any(keep != prev) & (it < k)
+
+    def body(carry):
+        keep, _, it = carry
+        return sweep(keep), keep, it + 1
+
+    keep0 = valid.astype(jnp.int32)
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0)))
+    keep_ref[0] = keep.reshape(k // 128, 128)
+
+
+def nms_keep_pallas(boxes: jnp.ndarray, valid: jnp.ndarray,
+                    iou_thres: float, *, interpret: bool = False
+                    ) -> jnp.ndarray:
+    """Batched keep mask. boxes (B, K, 4) f32 sorted by descending score;
+    valid (B, K) bool. Returns keep (B, K) bool in the sorted order.
+    K must be a multiple of 8 * 128 = 1024."""
+    b, k, _ = boxes.shape
+    assert k % (N_TILES * 128) == 0, \
+        f"K={k} must be a multiple of {N_TILES * 128}"
+    kernel = functools.partial(_kernel, iou_thres=float(iou_thres), k=k)
+    # component-major coordinate planes: (B, 4, N_TILES, K/8)
+    coords = boxes.astype(jnp.float32).transpose(0, 2, 1).reshape(
+        b, 4, N_TILES, k // N_TILES)
+    valid2d = valid.astype(jnp.int32).reshape(b, k // 128, 128)
+    keep = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 4, N_TILES, k // N_TILES),
+                         lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k // 128, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k // 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(coords, valid2d)
+    return keep.reshape(b, k) > 0

@@ -195,20 +195,64 @@ def make_train_step(model: YoloFace, cfg: TrainConfig, hyp: Dict[str, float],
                 raws, targets, h, nc=spec.nc, nkpt=spec.nkpt, gr=1.0)
             return loss, (components, updated["batch_stats"])
 
+        return _optimize(state, loss_fn, cfg)
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def _optimize(state: TrainState, loss_fn, cfg: TrainConfig):
+    (loss, (components, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    new_params, new_bufs = sgd_apply(cfg, state.params, grads,
+                                     state.momentum_buf, state.step)
+    ema_updates = state.ema_updates + 1
+    new_ema = ema_update(cfg, state.ema_params, new_params, ema_updates)
+    new_state = state.replace(
+        step=state.step + 1, params=new_params, batch_stats=new_stats,
+        momentum_buf=new_bufs, ema_params=new_ema,
+        ema_updates=ema_updates)
+    return new_state, loss, components
+
+
+def make_accum_steps(model: YoloFace, cfg: TrainConfig,
+                     hyp: Dict[str, float], img_size: int):
+    """Gradient-accumulation pair: `grad_fn(state, images, targets,
+    grads_acc)` accumulates summed gradients over micro-batches (the
+    loss.backward() accumulation semantics, train.py:409,437-442) and
+    `apply_fn(state, grads)` performs one optimizer + EMA step."""
+    spec = model.spec
+    h = scale_loss_gains(hyp, spec.nl, spec.nc, img_size)
+
+    def grad_fn(state: TrainState, images, targets, grads_acc):
+        def loss_fn(params):
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            raws, updated = model.apply(variables, images, train=True,
+                                        mutable=["batch_stats"])
+            loss, components = compute_loss_batched(
+                raws, targets, h, nc=spec.nc, nkpt=spec.nkpt, gr=1.0)
+            return loss, (components, updated["batch_stats"])
+
         (loss, (components, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        new_state = state.replace(batch_stats=new_stats)
+        return new_state, grads_acc, loss, components
+
+    def apply_fn(state: TrainState, grads):
         new_params, new_bufs = sgd_apply(cfg, state.params, grads,
                                          state.momentum_buf, state.step)
         ema_updates = state.ema_updates + 1
-        new_ema = ema_update(cfg, state.ema_params, new_params, ema_updates)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            batch_stats=new_stats,
-            momentum_buf=new_bufs,
-            ema_params=new_ema,
-            ema_updates=ema_updates,
-        )
-        return new_state, loss, components
+        new_ema = ema_update(cfg, state.ema_params, new_params,
+                             ema_updates)
+        return state.replace(
+            step=state.step + 1, params=new_params,
+            momentum_buf=new_bufs, ema_params=new_ema,
+            ema_updates=ema_updates)
 
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return (jax.jit(grad_fn, donate_argnums=(3,)),
+            jax.jit(apply_fn, donate_argnums=(0,)))
+
+
+def zero_grads_like(params):
+    return jax.tree.map(jnp.zeros_like, params)
