@@ -124,6 +124,62 @@ def decode_level(raw: np.ndarray, anchors: np.ndarray, stride: float,
     return out
 
 
+APP = os.path.join(os.path.dirname(SRC), "fdms_detect")
+
+
+def build_app() -> Optional[str]:
+    """Build the standalone native detector (native/fdms_detect.cpp)."""
+    app_src = os.path.join(os.path.dirname(SRC), "fdms_detect.cpp")
+    if os.path.exists(APP) and os.path.getmtime(APP) > max(
+            os.path.getmtime(app_src), os.path.getmtime(SRC)):
+        return APP
+    try:
+        subprocess.run(["g++", "-O3", "-std=c++17", app_src, SRC,
+                        "-o", APP], check=True, capture_output=True,
+                       timeout=180)
+        return APP
+    except Exception:
+        return None
+
+
+def dump_raw_heads(path: str, raws, spec) -> str:
+    """Write per-level raw head maps in the fdms_detect binary format:
+    header (n_levels, nc, nkpt int64) then per level (na, ny, nx, no
+    int64; stride f32; anchors f32; raw map f32)."""
+    import struct
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<3q", len(raws), spec.nc, spec.nkpt))
+        for lvl, raw in enumerate(raws):
+            raw = np.asarray(raw, np.float32)
+            if raw.ndim == 5:  # (1, na, ny, nx, no)
+                raw = raw[0]
+            na, ny, nx, no = raw.shape
+            f.write(struct.pack("<4q", na, ny, nx, no))
+            f.write(struct.pack("<f", float(spec.strides[lvl])))
+            anchors = np.asarray(spec.anchors[lvl],
+                                 np.float32).reshape(-1, 2)
+            f.write(anchors.tobytes())
+            f.write(np.ascontiguousarray(raw).tobytes())
+    return path
+
+
+def run_native_detector(raw_path: str, conf_thres: float = 0.25,
+                        iou_thres: float = 0.45,
+                        max_det: int = 300) -> np.ndarray:
+    """Run the native app on a raw-heads dump; returns (n, 5) rows
+    [x1, y1, x2, y2, conf] in input-frame pixels."""
+    app = build_app()
+    if app is None:
+        raise RuntimeError("native detector app could not be built")
+    out = subprocess.run(
+        [app, raw_path, str(conf_thres), str(iou_thres), str(max_det)],
+        check=True, capture_output=True, text=True, timeout=120)
+    rows = [[float(v) for v in line.split()]
+            for line in out.stdout.strip().splitlines() if line]
+    return np.array(rows, np.float64).reshape(-1, 5)
+
+
 def scale_coords_inverse(coords: np.ndarray, in_shape, out_shape
                          ) -> np.ndarray:
     lib = load()

@@ -23,7 +23,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from face_detection_multi_scale_tpu.ops.boxes import xywh2xyxy
+from face_detection_multi_scale_tpu.ops.boxes import box_iou, xywh2xyxy
 
 MAX_WH = 4096  # class-offset multiplier (reference utils/general.py:518)
 NEG_INF = -1e30
@@ -221,6 +221,22 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
 
     select = functools.partial(_select_kept, max_det=max_det)
     return jax.vmap(select)(keep, boxes, conf, cls, extras)
+
+
+def merge_nms_boxes(dets: Detections, all_boxes: jnp.ndarray,
+                    all_conf: jnp.ndarray, iou_thres: float) -> Detections:
+    """Merge-NMS refinement (reference utils/general.py:587-593): each
+    kept box becomes the confidence-weighted mean of every candidate box
+    overlapping it above the IoU threshold."""
+    def one(kept_boxes, cand_boxes, cand_conf):
+        iou = box_iou(kept_boxes, cand_boxes)  # (max_det, K)
+        w = (iou > iou_thres) * cand_conf[None, :]
+        merged = (w @ cand_boxes) / jnp.maximum(
+            w.sum(axis=1, keepdims=True), 1e-9)
+        return merged
+
+    merged = jax.vmap(one)(dets.boxes, all_boxes, all_conf)
+    return dets._replace(boxes=merged)
 
 
 def detections_to_numpy(dets: Detections):
