@@ -188,6 +188,51 @@ class FaceDetector:
         keep = np.asarray(idx)[np.asarray(valid)]
         return merged[keep], img0_shape
 
+    def detect_multi_scale_batch(self, imgs: Sequence
+                                 ) -> List[np.ndarray]:
+        """Batched TTA pyramid: all images go through each scale as ONE
+        compiled call, then merge per image with the weighted NMS.
+        Functionally identical to detect_multi_scale per image, but the
+        device sees (n_imgs, s, s, 3) batches instead of n_imgs x
+        n_scales single-image launches."""
+        loaded = [self._load(im) for im in imgs]
+        per_image: List[List[np.ndarray]] = [[] for _ in loaded]
+        for scale_idx, img_size in enumerate(self.img_sizes):
+            if self.use_api_preprocess:
+                inputs = [self.preprocess(im, img_size) for im in loaded]
+            else:
+                # standard mode letterboxes auto=True per image (variable
+                # shapes); batching needs the square auto=False variant
+                inputs = [LB.preprocess_standard(im, img_size,
+                                                 self.stride, auto=False)
+                          for im in loaded]
+            batch = np.stack(inputs)
+            dets = self.run_network(batch)
+            rows_list = NMS.detections_to_numpy(dets)
+            for i, rows in enumerate(rows_list):
+                rows = rows[:, :6].astype(np.float64)
+                if len(rows):
+                    rows[:, :4] = LB.scale_coords_api(
+                        batch.shape[1:3], rows[:, :4],
+                        loaded[i].shape).round()
+                per_image[i].append(np.hstack([
+                    rows, np.full((len(rows), 1), scale_idx)]))
+        out = []
+        for dets_per_scale in per_image:
+            merged = np.vstack(dets_per_scale)
+            if not len(merged):
+                out.append(np.zeros((0, 7)))
+                continue
+            idx, valid = NMS.weighted_nms(
+                merged[:, :4].astype(np.float32),
+                merged[:, 4].astype(np.float32),
+                merged[:, 6].astype(np.float32),
+                np.ones(len(merged), bool),
+                num_scales=len(self.img_sizes),
+                iou_thres=self.iou_thres, max_det=len(merged))
+            out.append(merged[np.asarray(idx)[np.asarray(valid)]])
+        return out
+
     def detect_batch(self, imgs: Sequence, img_size: int,
                      kpt: bool = True) -> List[np.ndarray]:
         """Throughput path: a batch of images at one scale in one compiled
