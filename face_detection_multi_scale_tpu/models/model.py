@@ -100,7 +100,12 @@ class YoloFace(nn.Module):
         raise NotImplementedError(f"op {node.op!r}")
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False):
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 reshape_heads: bool = True):
+        """When reshape_heads is False, the per-level outputs stay in the
+        conv layout (bs, ny, nx, na*no) — the fast-inference contract for
+        ops/nms.non_max_suppression_from_raws, which avoids ever
+        materializing the lane-padded (..., no) tensors."""
         spec = self.spec.resolve()
         saved: List[Optional[jnp.ndarray]] = []
         save = set(spec.save)
@@ -117,6 +122,8 @@ class YoloFace(nn.Module):
                            "IKeypoint": "ikeypoint"}[op]
                 raws = DetectionHead(spec, variant, dtype=self.dtype,
                                      name=f"model_{i}")(inp, train)
+                if not reshape_heads:
+                    return raws
                 return [reshape_level(r, spec.na, spec.no) for r in raws]
             if op == "Concat":
                 x = jnp.concatenate(inp, axis=-1)
