@@ -28,10 +28,15 @@ HYP_SCRATCH_TINY = dict(HYP_SCRATCH_P6, lrf=0.01, cls=0.5, obj=1.0,
                         hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, translate=0.1,
                         scale=0.5, mosaic=1.0, mixup=0.05, paste_in=0.05)
 
+HYP_FINETUNE = dict(HYP_SCRATCH_P6, lr0=0.001, lrf=0.1, hsv_h=0.015,
+                    hsv_s=0.7, hsv_v=0.4, translate=0.1, scale=0.5,
+                    mosaic=0.8, mixup=0.1, label_smoothing=0.1)
+
 PRESETS = {
     "scratch.p6": HYP_SCRATCH_P6,
     "scratch.p5": HYP_SCRATCH_P5,
     "scratch.tiny": HYP_SCRATCH_TINY,
+    "finetune": HYP_FINETUNE,
 }
 
 
