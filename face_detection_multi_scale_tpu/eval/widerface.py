@@ -169,9 +169,18 @@ def img_pr_info(pred_scores: np.ndarray, proposal_list: np.ndarray,
     if n == 0:
         return pr
     threshes = 1.0 - (np.arange(1, thresh_num + 1) / thresh_num)
-    # scores are descending; last index with score >= thresh
-    counts = np.searchsorted(-pred_scores, -threshes, side="right")
     kept_cum = np.cumsum(proposal_list == 1)
+    if np.all(pred_scores[:-1] >= pred_scores[1:]):
+        # descending scores (NMS output order): last index with
+        # score >= thresh via searchsorted
+        counts = np.searchsorted(-pred_scores, -threshes, side="right")
+    else:
+        # arbitrary file order: the reference takes the LAST row index
+        # with score >= thresh; suffix-max gives it vectorized
+        suffix_max = np.maximum.accumulate(pred_scores[::-1])[::-1]
+        # last index where suffix_max >= t == count of rows whose suffix
+        # max clears the threshold
+        counts = np.searchsorted(-suffix_max, -threshes, side="right")
     valid = counts > 0
     idx = counts[valid] - 1
     pr[valid, 0] = kept_cum[idx]

@@ -261,6 +261,14 @@ class FaceDetector:
                 if self.use_api_preprocess:
                     rows[:, :4] = LB.scale_coords_api(
                         (img_size, img_size), rows[:, :4], shape)
+                    if kpt and rows.shape[1] > 6:
+                        # same pad-to-square inverse for landmarks:
+                        # pure scale by max(orig)/input then clip
+                        scale = max(shape[0], shape[1]) / img_size
+                        rows[:, 6::3] = (rows[:, 6::3] * scale).clip(
+                            0, shape[1])
+                        rows[:, 7::3] = (rows[:, 7::3] * scale).clip(
+                            0, shape[0])
                 else:
                     rows[:, :4] = LB.scale_coords(
                         (img_size, img_size), rows[:, :4], shape[:2])

@@ -58,11 +58,15 @@ def test_write_and_read_roundtrip(tmp_path):
     assert boxes[1, 4] == 1.0
 
 
-def test_img_pr_info_matches_loop():
-    """Vectorized PR accumulation == the reference per-threshold loop."""
+@pytest.mark.parametrize("sorted_scores", [True, False])
+def test_img_pr_info_matches_loop(sorted_scores):
+    """Vectorized PR accumulation == the reference per-threshold loop,
+    for both NMS-sorted and arbitrary file-order scores."""
     rng = np.random.default_rng(5)
     n = 57
-    scores = np.sort(rng.uniform(0, 1, n))[::-1]
+    scores = rng.uniform(0, 1, n)
+    if sorted_scores:
+        scores = np.sort(scores)[::-1]
     proposal = rng.choice([1, -1], n, p=[0.8, 0.2])
     recall = np.cumsum(rng.choice([0, 1], n, p=[0.6, 0.4]))
 
