@@ -57,6 +57,8 @@ def main(argv=None):
     ap.add_argument("--val-batch-size", type=int, default=None)
     ap.add_argument("--nominal-batch", type=int, default=64,
                     help="accumulate gradients up to this total batch")
+    ap.add_argument("--min-warmup-steps", type=int, default=1000,
+                    help="warmup iteration floor (reference: 1000)")
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--evolve", type=int, nargs="?", const=300,
                     default=None, metavar="GENERATIONS",
@@ -172,6 +174,7 @@ def train_run(args, hyp_override=None, quiet=False):
         weight_decay=hyp["weight_decay"] * max(
             round(64 / args.batch_size), 1) * args.batch_size / 64,
         warmup_epochs=hyp["warmup_epochs"],
+        min_warmup_steps=args.min_warmup_steps,
         warmup_momentum=hyp["warmup_momentum"],
         warmup_bias_lr=hyp["warmup_bias_lr"],
         batch_size=args.batch_size, linear_lr=args.linear_lr)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from face_detection_multi_scale_tpu.models import layers as L
+from face_detection_multi_scale_tpu.models import layers_extra as LX
 from face_detection_multi_scale_tpu.models.head import (
     DetectionHead, decode, reshape_level)
 from face_detection_multi_scale_tpu.models.spec import (
@@ -97,6 +98,39 @@ class YoloFace(nn.Module):
         if op == "Focus":
             k = int(args[1]) if len(args) > 1 else 1
             return L.Focus(c2, k, act=self._act(args), dtype=d, name=name)
+        if op == "ConvFocus":
+            k = int(args[1]) if len(args) > 1 else 1
+            return LX.ConvFocus(c1, c2, k, act=self._act(args), dtype=d,
+                                name=name)
+        if op == "CrossConv":
+            k = int(args[1]) if len(args) > 1 else 3
+            st = int(args[2]) if len(args) > 2 else 1
+            return LX.CrossConv(c1, c2, k, st, dtype=d, name=name)
+        if op == "GhostConv":
+            k = int(args[1]) if len(args) > 1 else 1
+            st = int(args[2]) if len(args) > 2 else 1
+            return LX.GhostConv(c1, c2, k, st, act=self._act(args),
+                                dtype=d, name=name)
+        if op == "GhostBottleneck":
+            k = int(args[1]) if len(args) > 1 else 3
+            st = int(args[2]) if len(args) > 2 else 1
+            return LX.GhostBottleneck(c1, c2, k, st, dtype=d, name=name)
+        if op == "MixConv2d":
+            k = tuple(args[1]) if len(args) > 1 else (1, 3)
+            st = int(args[2]) if len(args) > 2 else 1
+            return LX.MixConv2d(c1, c2, k, st, dtype=d, name=name)
+        if op == "C3TR":
+            sc = bool(args[1]) if len(args) > 1 else True
+            return LX.C3TR(c1, c2, node.repeats, dtype=d, name=name)
+        if op == "BottleneckCSPF":
+            sc = bool(args[1]) if len(args) > 1 else True
+            return LX.BottleneckCSPF(c1, c2, node.repeats, sc, dtype=d,
+                                     name=name)
+        if op == "BottleneckCSP2":
+            return LX.BottleneckCSP2(c1, c2, node.repeats, dtype=d,
+                                     name=name)
+        if op == "SPPCSP":
+            return LX.SPPCSP(c1, c2, dtype=d, name=name)
         raise NotImplementedError(f"op {node.op!r}")
 
     @nn.compact
@@ -156,6 +190,14 @@ class YoloFace(nn.Module):
                     x = L.max_pool(x, 3, 1, 1)
             elif op == "ReOrg":
                 x = L.reorg(inp)
+            elif op == "Contract":
+                x = LX.contract(inp, int(node.args[0]) if node.args else 2)
+            elif op == "Expand":
+                x = LX.expand(inp, int(node.args[0]) if node.args else 2)
+            elif op == "Sum":
+                x = LX.Sum(len(node.f),
+                           bool(node.args[1]) if len(node.args) > 1
+                           else False, name=f"model_{i}")(inp)
             else:
                 if node.n_resolved > 1:
                     x = inp

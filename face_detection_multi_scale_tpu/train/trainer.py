@@ -87,11 +87,14 @@ class TrainConfig:
     batch_size: int = 64
     ema_decay: float = 0.9999
     linear_lr: bool = False
+    # the reference floors warmup at 1000 iterations (train.py:398);
+    # configurable so tiny datasets can actually leave warmup
+    min_warmup_steps: int = 1000
 
     @property
     def warmup_steps(self) -> int:
         return max(int(round(self.warmup_epochs * self.steps_per_epoch)),
-                   1000)
+                   self.min_warmup_steps, 1)
 
     def lr_at(self, step, group: str):
         """Per-step lr for a param group, reproducing the per-iteration
