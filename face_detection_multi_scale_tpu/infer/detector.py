@@ -51,7 +51,8 @@ class FaceDetector:
                  conf_thres: float = 0.5, iou_thres: float = 0.5,
                  use_api_preprocess: bool = False,
                  dtype=jnp.float32, max_det: int = 300,
-                 max_candidates: int = 4096, seed: int = 0):
+                 max_candidates: int = 4096, seed: int = 0,
+                 mesh=None):
         spec = zoo.get_spec(model) if isinstance(model, str) else model
         self.spec = spec.resolve()
         self.model = YoloFace(spec=self.spec, dtype=dtype)
@@ -76,6 +77,10 @@ class FaceDetector:
         self.use_api_preprocess = use_api_preprocess
         self.max_det = max_det
         self.max_candidates = max_candidates
+        # optional device mesh: batches shard along the data axis so one
+        # engine serves every chip (the multi-GPU pool replacement,
+        # reference yolov7_face_multi_scale_dataframe_predict.py:569-597)
+        self.mesh = mesh
         self._exec: Dict[Tuple[int, int], object] = {}
 
     # ------------------------------------------------------------------
@@ -104,9 +109,29 @@ class FaceDetector:
         return self._exec[key]
 
     def run_network(self, images_u8: np.ndarray) -> NMS.Detections:
-        """Raw engine call: uint8 NHWC (bs, h, w, 3) -> device Detections."""
+        """Raw engine call: uint8 NHWC (bs, h, w, 3) -> device Detections.
+
+        With a mesh attached, the batch is padded to a multiple of the
+        mesh size, sharded along the data axis (params replicate), and
+        the padded tail is dropped from the result."""
         bs, h, w, _ = images_u8.shape
-        return self._executable(h, w)(self.variables, images_u8)
+        if self.mesh is None:
+            return self._executable(h, w)(self.variables, images_u8)
+
+        from face_detection_multi_scale_tpu.parallel.mesh import (
+            batch_sharding)
+
+        n_dev = self.mesh.size
+        pad = (-bs) % n_dev
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.zeros((pad, h, w, 3), images_u8.dtype)])
+        with self.mesh:
+            sharded = jax.device_put(images_u8, batch_sharding(self.mesh))
+            dets = self._executable(h, w)(self.variables, sharded)
+        if pad:
+            dets = NMS.Detections(*(jax.device_get(x)[:bs] for x in dets))
+        return dets
 
     # ------------------------------------------------------------------
     # preprocessing
