@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--conf-thres", type=float, default=0.25)
+    ap.add_argument("--max-candidates", type=int, default=1024,
+                    help="pre-NMS candidate cap (1024 is ample at the "
+                         "serving conf threshold)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-friendly configuration")
     args = ap.parse_args()
@@ -72,7 +75,8 @@ def main():
         raws = model.apply(variables, x.astype(dtype) / 255.0, train=False)
         dets = NMS.non_max_suppression(
             decode(raws, spec), args.conf_thres, 0.5, nc=spec.nc,
-            nkpt=spec.nkpt, max_candidates=2048, max_det=300)
+            nkpt=spec.nkpt, max_candidates=args.max_candidates,
+            max_det=300)
         # scalar reduction forces full execution at fetch time
         return dets.boxes.sum() + dets.scores.sum()
 
