@@ -201,6 +201,9 @@ def train_run(args, hyp_override=None, quiet=False):
                    for s in spec.strides]
 
     results_path = save_dir / "results.txt"
+    grads_acc = None
+    ni = 0
+    last_opt_step = 0
     with mesh:
         data_sh = batch_sharding(mesh)
         state = jax.device_put(state, replicated(mesh))
@@ -227,13 +230,18 @@ train_plots import plot_images
                     lambda x: jax.device_put(jnp.asarray(x), data_sh),
                     targets)
                 if accumulate > 1:
-                    if nb % accumulate == 0:
+                    # global iteration counter: the optimizer applies every
+                    # `accumulate` micro-batches ACROSS epochs
+                    # (train.py:409,437: ni - last_opt_step >= accumulate)
+                    if grads_acc is None:
                         grads_acc = zero_grads_like(state.params)
                     state, grads_acc, loss, comps = grad_fn(
                         state, images_d, targets_d, grads_acc)
-                    if (nb + 1) % accumulate == 0:
+                    ni += 1
+                    if ni - last_opt_step >= accumulate:
                         state = apply_fn(state, grads_acc)
                         grads_acc = zero_grads_like(state.params)
+                        last_opt_step = ni
                 else:
                     state, loss, comps = step_fn(state, images_d,
                                                  targets_d)

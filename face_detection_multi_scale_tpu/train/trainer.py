@@ -189,6 +189,11 @@ def make_train_step(model: YoloFace, cfg: TrainConfig, hyp: Dict[str, float],
     h = scale_loss_gains(hyp, spec.nl, spec.nc, img_size)
 
     def step_fn(state: TrainState, images, targets):
+        # uint8 batches normalize on device (the imgs/255 of the
+        # reference batch loop, train.py:403)
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            images = images.astype(jnp.float32) / 255.0
+
         def loss_fn(params):
             variables = {"params": params,
                          "batch_stats": state.batch_stats}
@@ -227,6 +232,9 @@ def make_accum_steps(model: YoloFace, cfg: TrainConfig,
     h = scale_loss_gains(hyp, spec.nl, spec.nc, img_size)
 
     def grad_fn(state: TrainState, images, targets, grads_acc):
+        if jnp.issubdtype(images.dtype, jnp.integer):
+            images = images.astype(jnp.float32) / 255.0
+
         def loss_fn(params):
             variables = {"params": params,
                          "batch_stats": state.batch_stats}
