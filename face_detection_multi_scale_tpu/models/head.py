@@ -23,6 +23,7 @@ ops/nms.py so the whole postprocess stays on device.
 
 from __future__ import annotations
 
+import math
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
@@ -53,7 +54,19 @@ class DetectionHead(nn.Module):
         for i, x in enumerate(xs):
             ch = x.shape[-1]
             xa = ImplicitA(ch, name=f"ia_{i}")(x) if implicit else x
+
+            def det_bias_init(key, shape, dtype=jnp.float32, lvl=i):
+                # focal-style prior biases (models/yolo.py:419-427):
+                # obj ~ 8 objects per 640px image at this stride; cls
+                # uniform 0.6/(nc-0.99)
+                b = jnp.zeros((na, no_det), dtype)
+                stride = float(s.strides[lvl])
+                b = b.at[:, 4].set(math.log(8 / (640 / stride) ** 2))
+                b = b.at[:, 5:].set(math.log(0.6 / (s.nc - 0.99)))
+                return b.reshape(shape)
+
             det = nn.Conv(no_det * na, (1, 1), use_bias=True,
+                          bias_init=det_bias_init,
                           dtype=self.dtype, name=f"m_{i}")(xa)
             if implicit:
                 det = ImplicitM(no_det * na, name=f"im_{i}")(det)
