@@ -57,6 +57,9 @@ class FaceDetector:
         self.spec = spec.resolve()
         self.model = YoloFace(spec=self.spec, dtype=dtype)
         if torch_weights is not None:
+            from face_detection_multi_scale_tpu.utils.downloads import (
+                attempt_download)
+            torch_weights = attempt_download(str(torch_weights))
             if str(torch_weights).endswith(".npz"):
                 from face_detection_multi_scale_tpu.train.checkpoint import (
                     load_inference_weights)
