@@ -65,3 +65,47 @@ def test_loss_decreases_overfitting_fixed_batch():
     # box loss specifically must shrink
     _, _, comps = step(state, x, targets)
     assert float(comps[0]) < 0.1
+
+
+@pytest.mark.slow
+def test_synthetic_faces_reach_nontrivial_map(tmp_path):
+    """Full-stack learnability: train lite-t on drawn synthetic faces and
+    require nontrivial held-out mAP50 (dataset -> aug -> targets -> loss
+    -> optimizer -> EMA -> mAP protocol all working together)."""
+    from face_detection_multi_scale_tpu.data.dataset import (
+        DataLoader, FaceDataset)
+    from face_detection_multi_scale_tpu.data.synthetic import (
+        make_synthetic_face_dataset)
+    from face_detection_multi_scale_tpu.infer.validate import validate
+
+    import yaml
+
+    data_yaml = make_synthetic_face_dataset(str(tmp_path / "syn"),
+                                            n_images=32, img_size=128)
+    with open(data_yaml) as f:
+        data = yaml.safe_load(f)
+
+    spec = zoo.get_spec("yolov7-lite-t")
+    model, variables = init_model(spec, img_size=64)
+    hyp = dict(HYP_SCRATCH_P6, weight_decay=0.0)
+    ds = FaceDataset(data["train"], img_size=128, augment=True, hyp=hyp,
+                     kpt_label=5, cache_images=True)
+    loader = DataLoader(ds, 8, shuffle=True, seed=0)
+    cfg = TrainConfig(epochs=20, steps_per_epoch=max(len(loader), 1),
+                      lr0=0.01, warmup_epochs=1.0, min_warmup_steps=40,
+                      batch_size=8)
+    step = make_train_step(model, cfg, hyp, 128)
+    state = create_train_state(variables)
+    grid_shapes = [(128 // s, 128 // s) for s in spec.strides]
+    for epoch in range(20):
+        loader.set_epoch(epoch)
+        for images, labels, paths, shapes in loader:
+            targets = jax.tree.map(jnp.asarray, build_targets_batched(
+                labels, len(images), spec, grid_shapes))
+            state, loss, comps = step(state, jnp.asarray(images), targets)
+    val_ds = FaceDataset(data["val"], img_size=128, augment=False, hyp={},
+                         kpt_label=5)
+    results = validate(model, {"params": state.ema_params,
+                               "batch_stats": state.batch_stats},
+                       val_ds, batch_size=4, verbose=False)
+    assert results["map50"] > 0.02, results
