@@ -59,6 +59,10 @@ def main(argv=None):
                     help="accumulate gradients up to this total batch")
     ap.add_argument("--min-warmup-steps", type=int, default=1000,
                     help="warmup iteration floor (reference: 1000)")
+    ap.add_argument("--multi-scale", action="store_true",
+                    help="random batch resize +/-50%% in stride steps "
+                         "(train.py:417-422); one compile per size, "
+                         "cached")
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--evolve", type=int, nargs="?", const=300,
                     default=None, metavar="GENERATIONS",
@@ -213,6 +217,26 @@ def train_run(args, hyp_override=None, quiet=False):
             mloss = np.zeros(6)
             nb = 0
             for images, labels, paths, shapes in loader:
+                if args.multi_scale:
+                    # random size in [0.5, 1.5] x img_size rounded to the
+                    # stride grid; labels are normalized so only the
+                    # target grids change
+                    import random as _random
+
+                    gs = spec.max_stride
+                    sz = _random.randrange(args.img_size // 2,
+                                           args.img_size * 3 // 2 + gs,
+                                           gs)
+                    if sz != images.shape[1]:
+                        import cv2
+
+                        images = np.stack([
+                            cv2.resize(im, (sz, sz),
+                                       interpolation=cv2.INTER_LINEAR)
+                            for im in images])
+                batch_grids = [(images.shape[1] // st,
+                                images.shape[2] // st)
+                               for st in spec.strides]
                 if epoch == start_epoch and nb < 3 and is_main_process():
                     try:
                         from face_detection_multi_scale_tpu.utils.\
@@ -223,7 +247,7 @@ train_plots import plot_images
                     except Exception:
                         pass
                 targets = build_targets_batched(
-                    labels, len(images), spec, grid_shapes,
+                    labels, len(images), spec, batch_grids,
                     anchor_t=hyp["anchor_t"])
                 images_d = jax.device_put(images, data_sh)
                 targets_d = jax.tree.map(
