@@ -12,7 +12,6 @@ preprocessing.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from pathlib import Path
 

@@ -30,7 +30,6 @@ def main(argv=None):
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    import numpy as np
 
     from face_detection_multi_scale_tpu.data.letterbox import (
         letterbox, preprocess_api)

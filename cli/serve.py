@@ -11,7 +11,6 @@ http.server — zero extra dependencies, same endpoint and response shape.
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import re
 import sys

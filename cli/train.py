@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 from pathlib import Path
@@ -89,8 +88,7 @@ def train_run(args, hyp_override=None, quiet=False):
     from face_detection_multi_scale_tpu.models import zoo
     from face_detection_multi_scale_tpu.models.convert import (
         convert_state_dict, load_torch_checkpoint)
-    from face_detection_multi_scale_tpu.models.model import (
-        YoloFace, init_model)
+    from face_detection_multi_scale_tpu.models.model import init_model
     from face_detection_multi_scale_tpu.models.spec import load_spec
     from face_detection_multi_scale_tpu.parallel.mesh import (
         batch_sharding, is_main_process, make_data_mesh, replicated)
@@ -334,8 +332,6 @@ train_plots import plot_images
 def run_evolve(args):
     """Hyperparameter evolution: short training runs per generation,
     fitness-ranked ledger (reference train.py:674-754)."""
-    import dataclasses
-
     from face_detection_multi_scale_tpu.train.evolve import evolve
     from face_detection_multi_scale_tpu.train.hyp import get_hyp
 

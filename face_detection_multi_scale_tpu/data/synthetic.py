@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import shutil
 from pathlib import Path
-from typing import Optional, Tuple
-
 import numpy as np
 
 

@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import os
 from collections import Counter
-from typing import Dict, List, Optional
+from typing import Dict, List
 
-import numpy as np
 
 # 10-field annotation row: x y w h blur expression illumination invalid
 # occlusion pose

@@ -8,7 +8,7 @@ numpy re-implementation with reference semantics
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List
 
 import numpy as np
 

@@ -16,7 +16,6 @@ models/export.py:85-149) and raw-head ONNX for the ncnn C++ app
 from __future__ import annotations
 
 import json
-import os
 from typing import Optional, Sequence
 
 import jax

@@ -7,7 +7,7 @@ input-robust detector back.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 from face_detection_multi_scale_tpu.models import zoo
 

@@ -7,7 +7,7 @@ sets are concatenated before NMS ("nms ensemble").
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

@@ -8,7 +8,7 @@ native image space, greedy IoU-ladder matching, ap_per_class.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
@@ -34,8 +34,6 @@ def validate(model, variables, dataset: FaceDataset, *,
     space before matching (test.py:172-279)."""
     spec: ModelSpec = model.spec
     img_size = dataset.img_size
-
-    import functools
 
     from face_detection_multi_scale_tpu.infer.augment import (
         forward_augment, forward_flip_test)

@@ -24,7 +24,7 @@ ops/nms.py so the whole postprocess stays on device.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

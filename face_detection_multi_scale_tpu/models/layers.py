@@ -24,7 +24,7 @@ Behavioral parity targets (reference file:line):
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

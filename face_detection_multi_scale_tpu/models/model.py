@@ -9,7 +9,7 @@ node loop is Python, so XLA sees one flat graph and fuses freely.
 from __future__ import annotations
 
 import functools
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional
 
 import flax.linen as nn
 import jax

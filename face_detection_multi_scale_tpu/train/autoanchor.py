@@ -9,7 +9,7 @@ k-means then 1000-generation mutation hill-climb.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

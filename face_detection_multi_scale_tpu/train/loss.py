@@ -19,7 +19,7 @@ Loss formula parity (reference utils/loss.py):
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

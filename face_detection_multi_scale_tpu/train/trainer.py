@@ -22,18 +22,14 @@ batch-norm statistics reduce over the full global batch under jit.
 from __future__ import annotations
 
 import dataclasses
-import math
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from flax.core import FrozenDict
 
 from face_detection_multi_scale_tpu.models.model import YoloFace
-from face_detection_multi_scale_tpu.models.spec import ModelSpec
 from face_detection_multi_scale_tpu.train.loss import compute_loss_batched
 
 
