@@ -50,7 +50,9 @@ def write_gt_mats(val_images_dir: str, val_labels_dir: str, gt_dir: str):
                      for k in keeps}
         for fi, fname in enumerate(img_files):
             stem = os.path.splitext(fname)[0]
-            names[fi, 0] = np.array([stem], object)
+            # plain str: scipy savemat cells round-trip as string arrays,
+            # matching the official mats' structure
+            names[fi, 0] = stem
             import cv2
 
             img = cv2.imread(os.path.join(val_images_dir, event, fname))
@@ -69,8 +71,8 @@ def write_gt_mats(val_images_dir: str, val_labels_dir: str, gt_dir: str):
                 keep = np.where((gt[:, 2] >= thr) & (gt[:, 3] >= thr))[0]
                 # 1-based indices like the official mats
                 keep_cols[setting][fi, 0] = (keep + 1).reshape(-1, 1) \
-                    .astype(np.float64)
-        event_list[ei, 0] = np.array([event], object)
+                    .astype(np.int32)
+        event_list[ei, 0] = event
         file_list[ei, 0] = names
         facebox_list[ei, 0] = boxes_col
         for k in keeps:
