@@ -219,7 +219,7 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
         keep = jax.vmap(keep_one)(nms_boxes,
                                   jnp.where(valid, conf, NEG_INF))
 
-    select = functools.partial(_select_kept, max_det=max_det)
+    select = functools.partial(_select_kept, max_det=min(max_det, k))
     return jax.vmap(select)(keep, boxes, conf, cls, extras)
 
 
@@ -318,6 +318,7 @@ def non_max_suppression_from_raws(raws, spec, conf_thres: float,
                                   jnp.where(valid, top_conf, NEG_INF))
 
     # ---- stage 3: select the first max_det keepers ----
+    max_det = min(max_det, k)
     idx = jnp.arange(k)
     pos = jnp.where(keep, idx[None, :], k)
     neg_top, sel = jax.lax.top_k(-pos, max_det)
