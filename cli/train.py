@@ -199,8 +199,6 @@ def train_run(args, hyp_override=None, quiet=False):
     else:
         step_fn = make_train_step(model, cfg, hyp, args.img_size)
     mesh = make_data_mesh()
-    grid_shapes = [(args.img_size // s, args.img_size // s)
-                   for s in spec.strides]
 
     results_path = save_dir / "results.txt"
     grads_acc = None
