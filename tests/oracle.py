@@ -54,7 +54,16 @@ def install_torchvision_shim():
 
 def import_reference():
     """Add /root/reference to sys.path (after the shim) and return a module
-    namespace accessor. Reference modules are imported lazily by name."""
+    namespace accessor. Reference modules are imported lazily by name.
+    Skips the calling test module when the reference isn't mounted, so the
+    suite still runs standalone."""
+    import os
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        import pytest
+
+        pytest.skip("reference repo not mounted at /root/reference",
+                    allow_module_level=True)
     install_torchvision_shim()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
