@@ -40,7 +40,11 @@ def main(argv=None):
     ap.add_argument("--kpt-label", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--max-det", type=int, default=1024)
+    # the reference NMS admits 30000 pre-NMS boxes and keeps all survivors
+    # (utils/general.py:518-524); at conf 0.01 crowded hard-set images
+    # need generous fixed capacities to avoid recall loss
+    ap.add_argument("--max-det", type=int, default=4096)
+    ap.add_argument("--max-candidates", type=int, default=16384)
     args = ap.parse_args(argv)
 
     import cv2
@@ -56,6 +60,7 @@ def main(argv=None):
                        img_sizes=(args.img_size,),
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                        max_det=args.max_det,
+                       max_candidates=args.max_candidates,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
 

@@ -169,12 +169,15 @@ def train_run(args, hyp_override=None, quiet=False):
                         host_id=jax.process_index())
     steps_per_epoch = max(len(loader), 1)
 
+    # gradient accumulation to the nominal batch (train.py:157,437)
+    accumulate = max(round(args.nominal_batch / args.batch_size), 1)
     cfg = TrainConfig(
         epochs=args.epochs, steps_per_epoch=steps_per_epoch,
         lr0=hyp["lr0"], lrf=hyp["lrf"], momentum=hyp["momentum"],
-        # weight decay scaled to the nominal batch 64 (train.py:157-159)
-        weight_decay=hyp["weight_decay"] * max(
-            round(64 / args.batch_size), 1) * args.batch_size / 64,
+        # weight decay scaled by total_batch*accumulate/nbs
+        # (train.py:157-159); both factors derive from --nominal-batch
+        weight_decay=hyp["weight_decay"] * args.batch_size * accumulate
+        / args.nominal_batch,
         warmup_epochs=hyp["warmup_epochs"],
         min_warmup_steps=args.min_warmup_steps,
         warmup_momentum=hyp["warmup_momentum"],
@@ -190,8 +193,6 @@ def train_run(args, hyp_override=None, quiet=False):
         best_fitness = float(meta.get("best_fitness", -1.0))
         print(f"resumed from epoch {start_epoch}")
 
-    # gradient accumulation to the nominal batch 64 (train.py:157,437)
-    accumulate = max(round(args.nominal_batch / args.batch_size), 1)
     if accumulate > 1:
         grad_fn, apply_fn = make_accum_steps(model, cfg, hyp,
                                              args.img_size)
@@ -202,8 +203,12 @@ def train_run(args, hyp_override=None, quiet=False):
 
     results_path = save_dir / "results.txt"
     grads_acc = None
-    ni = 0
-    last_opt_step = 0
+    # global micro-iteration counter (the reference's `ni`,
+    # train.py:396-414): drives both the accumulation cadence and — via
+    # apply_fn's sched_step — the warmup/cosine schedule; resumes where
+    # the interrupted run left off
+    ni = start_epoch * steps_per_epoch
+    last_opt_step = ni
     with mesh:
         data_sh = batch_sharding(mesh)
         state = jax.device_put(state, replicated(mesh))
@@ -259,7 +264,8 @@ train_plots import plot_images
                         state, images_d, targets_d, grads_acc)
                     ni += 1
                     if ni - last_opt_step >= accumulate:
-                        state = apply_fn(state, grads_acc)
+                        state = apply_fn(state, grads_acc,
+                                         jnp.int32(ni - 1))
                         grads_acc = zero_grads_like(state.params)
                         last_opt_step = ni
                 else:

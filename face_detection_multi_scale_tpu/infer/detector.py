@@ -219,10 +219,20 @@ class FaceDetector:
     def detect_multi_scale_batch(self, imgs: Sequence
                                  ) -> List[np.ndarray]:
         """Batched TTA pyramid: all images go through each scale as ONE
-        compiled call, then merge per image with the weighted NMS.
-        Functionally identical to detect_multi_scale per image, but the
+        compiled call, then merge per image with the weighted NMS; the
         device sees (n_imgs, s, s, 3) batches instead of n_imgs x
-        n_scales single-image launches."""
+        n_scales single-image launches.
+
+        In API mode this is functionally identical to detect_multi_scale
+        per image (same pad-to-square preprocess + top-left-scale
+        inverse). In standard mode the images are letterboxed to a
+        centered square (auto=False, the only batchable variant) and
+        inverted with the exact gain+pad `scale_coords` — boxes land in
+        true original-image coordinates, which for non-square images
+        differs from the per-image standard path, because the reference
+        per-image path applies the API inverse to an auto=True letterbox
+        (multi_scale_face_detector.py:144, a reference quirk we mirror
+        there)."""
         loaded = [self._load(im) for im in imgs]
         per_image: List[List[np.ndarray]] = [[] for _ in loaded]
         for scale_idx, img_size in enumerate(self.img_sizes):
@@ -240,9 +250,16 @@ class FaceDetector:
             for i, rows in enumerate(rows_list):
                 rows = rows[:, :6].astype(np.float64)
                 if len(rows):
-                    rows[:, :4] = LB.scale_coords_api(
-                        batch.shape[1:3], rows[:, :4],
-                        loaded[i].shape).round()
+                    if self.use_api_preprocess:
+                        rows[:, :4] = LB.scale_coords_api(
+                            batch.shape[1:3], rows[:, :4],
+                            loaded[i].shape).round()
+                    else:
+                        # centered auto=False letterbox inverts with the
+                        # gain+pad formula, not the top-left API scale
+                        rows[:, :4] = LB.scale_coords(
+                            batch.shape[1:3], rows[:, :4],
+                            loaded[i].shape[:2]).round()
                 per_image[i].append(np.hstack([
                     rows, np.full((len(rows), 1), scale_idx)]))
         out = []

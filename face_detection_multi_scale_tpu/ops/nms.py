@@ -193,6 +193,16 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
     """Batched on-device NMS: pred (bs, N, 5+nc+3*nkpt) -> Detections with
     leading batch dim. jit/vmap/shard_map friendly (static shapes only).
 
+    ACCURACY KNOB — the fixed capacities: the reference NMS admits up to
+    30,000 pre-NMS boxes and keeps every survivor
+    (utils/general.py:518-524); this kernel truncates to the top
+    `max_candidates` by confidence before suppression and returns at most
+    `max_det` rows. The serving defaults (4096/300) are lossless at
+    conf>=0.25; at high-recall operating points (WIDER eval conf 0.01,
+    multi-scale TTA merges) crowded images can exceed them and silently
+    cost recall — the eval CLIs raise them (cli/test_widerface.py uses
+    16384/4096; the TTA parity test needs 16384/8192).
+
     backend: "xla" = the jnp suppression-matrix fixpoint; "pallas" = the
     VMEM-resident Pallas kernel (K multiple of 1024; ~2.5x faster and no
     K^2 HBM matrix at the high-recall eval operating point); "auto" picks

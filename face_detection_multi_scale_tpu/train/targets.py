@@ -18,6 +18,7 @@ Semantics mirrored exactly:
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -125,6 +126,10 @@ def build_targets(labels: np.ndarray, spec: ModelSpec,
 
         m = len(b)
         if m > cap:
+            warnings.warn(
+                f"build_targets: truncating {m - cap} of {m} target rows "
+                f"at level {lvl} (cap={cap}); dense scenes lose "
+                f"supervision — raise the cap", stacklevel=2)
             b, a, gj, gi = b[:cap], a[:cap], gj[:cap], gi[:cap]
             tbox, tkpt, c, anc = tbox[:cap], tkpt[:cap], c[:cap], anc[:cap]
             m = cap
@@ -148,13 +153,31 @@ def build_targets_batched(labels: np.ndarray, batch_size: int,
                           spec: ModelSpec,
                           grid_shapes: Sequence[Tuple[int, int]],
                           anchor_t: float = 4.0,
-                          cap_per_image: int = 128) -> Dict[str, tuple]:
+                          cap_per_image: int | None = None
+                          ) -> Dict[str, tuple]:
     """Per-image fixed-capacity targets, stacked to (B, cap, ...) arrays.
 
     This is the SPMD-friendly layout: every array's leading dim is the
     batch, so a data-parallel mesh shards targets alongside images and the
     loss gathers stay shard-local (no cross-device indexing).
+
+    `cap_per_image=None` (default) sizes the capacity from the densest
+    image in the batch: each label contributes at most 3 cells x na
+    anchors per level (center + <=2 neighbors, utils/loss.py:216-245), so
+    `_bucket(3 * na * max_labels)` is a lossless upper bound — crowded
+    WIDER/mosaic images never silently lose supervision (the reference
+    build_targets has no cap). Bucketing keeps the jit shape set small.
+    An explicit cap is honored but truncation now warns (see
+    build_targets).
     """
+    if cap_per_image is None:
+        if len(labels):
+            counts = np.bincount(labels[:, 0].astype(np.int64),
+                                 minlength=batch_size)
+            max_n = max(int(counts.max()), 1)
+        else:
+            max_n = 1
+        cap_per_image = _bucket(3 * spec.na * max_n, quantum=128)
     per_level_stacks: List[List[LevelTargets]] = [[] for _ in grid_shapes]
     for b in range(batch_size):
         rows = labels[labels[:, 0] == b] if len(labels) else labels

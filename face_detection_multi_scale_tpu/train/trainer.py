@@ -223,7 +223,9 @@ def make_accum_steps(model: YoloFace, cfg: TrainConfig,
     """Gradient-accumulation pair: `grad_fn(state, images, targets,
     grads_acc)` accumulates summed gradients over micro-batches (the
     loss.backward() accumulation semantics, train.py:409,437-442) and
-    `apply_fn(state, grads)` performs one optimizer + EMA step."""
+    `apply_fn(state, grads, sched_step)` performs one optimizer + EMA
+    step with the lr/momentum schedule evaluated at the global
+    micro-iteration `sched_step` (the reference's `ni`)."""
     spec = model.spec
     h = scale_loss_gains(hyp, spec.nl, spec.nc, img_size)
 
@@ -246,9 +248,14 @@ def make_accum_steps(model: YoloFace, cfg: TrainConfig,
         new_state = state.replace(batch_stats=new_stats)
         return new_state, grads_acc, loss, components
 
-    def apply_fn(state: TrainState, grads):
+    def apply_fn(state: TrainState, grads, sched_step):
+        # `sched_step` is the GLOBAL MICRO-iteration counter (the
+        # reference's `ni`): warmup and the per-epoch cosine schedule are
+        # counted in micro-batches (train.py:398,406-414), not optimizer
+        # applies, so with accumulation the schedule must not be driven
+        # off state.step (which advances once per apply).
         new_params, new_bufs = sgd_apply(cfg, state.params, grads,
-                                         state.momentum_buf, state.step)
+                                         state.momentum_buf, sched_step)
         ema_updates = state.ema_updates + 1
         new_ema = ema_update(cfg, state.ema_params, new_params,
                              ema_updates)
