@@ -52,7 +52,8 @@ class FaceDetector:
                  use_api_preprocess: bool = False,
                  dtype=jnp.float32, max_det: int = 300,
                  max_candidates: int = 4096, seed: int = 0,
-                 mesh=None):
+                 mesh=None, fuse: bool = True,
+                 use_device_preprocess: bool = False):
         spec = zoo.get_spec(model) if isinstance(model, str) else model
         self.spec = spec.resolve()
         self.model = YoloFace(spec=self.spec, dtype=dtype)
@@ -70,6 +71,11 @@ class FaceDetector:
         if variables is None:
             _, variables = init_model(self.spec, jax.random.PRNGKey(seed),
                                       img_size=64, dtype=dtype)
+        if fuse:
+            # serve fused conv+BN weights like the reference's
+            # attempt_load -> .fuse() (models/experimental.py:126)
+            from face_detection_multi_scale_tpu.models.fuse import fold_bn
+            variables = fold_bn(variables)
         self.variables = variables
         self.dtype = dtype
 
@@ -84,7 +90,12 @@ class FaceDetector:
         # engine serves every chip (the multi-GPU pool replacement,
         # reference yolov7_face_multi_scale_dataframe_predict.py:569-597)
         self.mesh = mesh
-        self._exec: Dict[Tuple[int, int], object] = {}
+        # fuse resize+pad+normalize into the network executable so the
+        # raw uint8 frame is the only H2D transfer (one upload serves
+        # every pyramid scale); numerics differ from cv2 by <=2/255 per
+        # pixel (see infer/device_preprocess.py)
+        self.use_device_preprocess = use_device_preprocess
+        self._exec: Dict[Tuple, object] = {}
 
     # ------------------------------------------------------------------
     # compiled executables
@@ -109,6 +120,47 @@ class FaceDetector:
                     max_candidates=max_cand, max_det=max_det)
 
             self._exec[key] = run
+        return self._exec[key]
+
+    def _executable_dev(self, src_hw: Tuple[int, int], img_size: int,
+                        auto: bool):
+        """Fused device-preprocess executable for one (raw shape, scale):
+        uint8 RAW NHWC batch -> letterbox/normalize on device -> network
+        -> Detections. Returns (run, geometry) where geometry.out_hw is
+        the network-input shape for the coordinate inverse."""
+        key = ("dev", src_hw, img_size, auto, self.use_api_preprocess)
+        if key not in self._exec:
+            from face_detection_multi_scale_tpu.infer import (
+                device_preprocess as DP)
+
+            model, spec = self.model, self.spec
+            conf, iou = self.conf_thres, self.iou_thres
+            max_cand, max_det = self.max_candidates, self.max_det
+            dtype = self.dtype
+            if self.use_api_preprocess:
+                geom = DP.geometry_for_api(src_hw, img_size)
+
+                def pre(raw):
+                    # raw frames are BGR (cv2); the API chain expects RGB
+                    return DP.device_preprocess_api(
+                        raw[..., ::-1], img_size, dtype=dtype)
+            else:
+                geom = DP.letterbox_geometry(src_hw, img_size, auto=auto,
+                                             stride=self.stride)
+
+                def pre(raw):
+                    return DP.device_letterbox(raw, geom, dtype=dtype)
+
+            @jax.jit
+            def run(variables, raw_u8):
+                x = pre(raw_u8)
+                raws = model.apply(variables, x, train=False)
+                preds = decode(raws, spec)
+                return NMS.non_max_suppression(
+                    preds, conf, iou, nc=spec.nc, nkpt=spec.nkpt,
+                    max_candidates=max_cand, max_det=max_det)
+
+            self._exec[key] = (run, geom)
         return self._exec[key]
 
     def run_network(self, images_u8: np.ndarray) -> NMS.Detections:
@@ -165,25 +217,42 @@ class FaceDetector:
     # detection APIs
     # ------------------------------------------------------------------
 
-    def detect_single_scale(self, img, img_size: int):
+    def detect_single_scale(self, img, img_size: int, _raw_dev=None):
         """One image, one pyramid scale. Returns (detections, img0_shape,
         seconds): detections is (n, 7) [x1, y1, x2, y2, conf, cls,
         scale_idx] in original-image pixels (multi_scale_face_detector.py:
         109-166 contract, including the 6-column truncation, the API-inverse
-        rescale, and the .round())."""
-        img0 = self._load(img)
-        img0_shape = img0.shape
-        inp = self.preprocess(img0, img_size)
+        rescale, and the .round()).
+
+        `_raw_dev` (internal): a device-resident (1, h, w, 3) uint8 raw
+        frame — the multi-scale loop uploads the frame once and reuses it
+        at every scale when device preprocessing is on."""
+        if _raw_dev is not None:
+            img0_shape = tuple(int(v) for v in _raw_dev.shape[1:])
+            img0 = None
+        else:
+            img0 = self._load(img)
+            img0_shape = img0.shape
 
         t1 = time.perf_counter()
-        dets = self.run_network(inp[None])
+        if self.use_device_preprocess:
+            raw = (_raw_dev if _raw_dev is not None
+                   else jnp.asarray(img0[None]))
+            run, geom = self._executable_dev(img0_shape[:2], img_size,
+                                             auto=True)
+            dets = run(self.variables, raw)
+            inp_hw = geom.out_hw
+        else:
+            inp = self.preprocess(img0, img_size)
+            dets = self.run_network(inp[None])
+            inp_hw = inp.shape[:2]
         rows = NMS.detections_to_numpy(dets)[0]
         t2 = time.perf_counter()
 
         rows = rows[:, :6]
         if len(rows):
             rows[:, :4] = LB.scale_coords_api(
-                inp.shape[:2], rows[:, :4].astype(np.float64),
+                inp_hw, rows[:, :4].astype(np.float64),
                 img0_shape).round()
         scale_idx = self.img_sizes.index(img_size) if img_size in \
             self.img_sizes else -1
@@ -198,8 +267,12 @@ class FaceDetector:
         all_dets: List[np.ndarray] = []
         img0_shape = None
         img0 = self._load(img)
+        # device preprocessing: ONE raw-frame upload serves all scales
+        raw_dev = (jnp.asarray(img0[None])
+                   if self.use_device_preprocess else None)
         for img_size in self.img_sizes:
-            det, img0_shape, _ = self.detect_single_scale(img0, img_size)
+            det, img0_shape, _ = self.detect_single_scale(
+                img0, img_size, _raw_dev=raw_dev)
             if len(det):
                 all_dets.append(det)
         if not all_dets:
@@ -284,18 +357,25 @@ class FaceDetector:
         call. Images are letterboxed to the same square (auto=False).
         Returns per-image (n, 6 [+3*nkpt]) arrays in original coords."""
         img_size = check_img_size(img_size, self.stride)
-        inputs, shapes = [], []
-        for img in imgs:
-            img0 = self._load(img)
-            shapes.append(img0.shape)
-            if self.use_api_preprocess:
-                inputs.append(LB.preprocess_api(
-                    img0[:, :, ::-1], img_size, self.stride))
-            else:
-                inputs.append(LB.preprocess_standard(
-                    img0, img_size, self.stride, auto=False))
-        batch = np.stack(inputs)
-        dets = self.run_network(batch)
+        loaded = [self._load(img) for img in imgs]
+        shapes = [im.shape for im in loaded]
+        if (self.use_device_preprocess and self.mesh is None
+                and len(set(shapes)) == 1):
+            # uniform raw shapes (e.g. video frames): upload raw uint8,
+            # fuse preprocess into the network executable
+            run, geom = self._executable_dev(shapes[0][:2], img_size,
+                                             auto=False)
+            dets = run(self.variables, jnp.asarray(np.stack(loaded)))
+        else:
+            inputs = []
+            for img0 in loaded:
+                if self.use_api_preprocess:
+                    inputs.append(LB.preprocess_api(
+                        img0[:, :, ::-1], img_size, self.stride))
+                else:
+                    inputs.append(LB.preprocess_standard(
+                        img0, img_size, self.stride, auto=False))
+            dets = self.run_network(np.stack(inputs))
         rows_list = NMS.detections_to_numpy(dets)
         out = []
         for rows, shape in zip(rows_list, shapes):
