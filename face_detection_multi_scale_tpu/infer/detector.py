@@ -278,15 +278,8 @@ class FaceDetector:
         if not all_dets:
             return np.zeros((0, 7)), img0_shape
         merged = np.vstack(all_dets)
-        idx, valid = NMS.weighted_nms(
-            merged[:, :4].astype(np.float32),
-            merged[:, 4].astype(np.float32),
-            merged[:, 6].astype(np.float32),
-            np.ones(len(merged), bool),
-            num_scales=len(self.img_sizes),
-            iou_thres=self.iou_thres,
-            max_det=len(merged))
-        keep = np.asarray(idx)[np.asarray(valid)]
+        keep = NMS.weighted_nms_merge(merged, len(self.img_sizes),
+                                      self.iou_thres)
         return merged[keep], img0_shape
 
     def detect_multi_scale_batch(self, imgs: Sequence
@@ -341,14 +334,9 @@ class FaceDetector:
             if not len(merged):
                 out.append(np.zeros((0, 7)))
                 continue
-            idx, valid = NMS.weighted_nms(
-                merged[:, :4].astype(np.float32),
-                merged[:, 4].astype(np.float32),
-                merged[:, 6].astype(np.float32),
-                np.ones(len(merged), bool),
-                num_scales=len(self.img_sizes),
-                iou_thres=self.iou_thres, max_det=len(merged))
-            out.append(merged[np.asarray(idx)[np.asarray(valid)]])
+            keep = NMS.weighted_nms_merge(merged, len(self.img_sizes),
+                                          self.iou_thres)
+            out.append(merged[keep])
         return out
 
     def detect_batch(self, imgs: Sequence, img_size: int,

@@ -444,3 +444,44 @@ def weighted_nms(boxes: jnp.ndarray, conf: jnp.ndarray,
     w = scale_weights(boxes, scale_idx, num_scales)
     weighted = jnp.where(valid, conf * w, NEG_INF)
     return nms_keep_matrix(boxes, weighted, iou_thres, max_det)
+
+
+@functools.lru_cache(maxsize=None)
+def _weighted_nms_exec(cap: int, num_scales: int, iou_thres: float):
+    """One compiled weighted-NMS executable per (capacity, scales, thr)."""
+    @jax.jit
+    def run(boxes, conf, scale_idx, valid):
+        return weighted_nms(boxes, conf, scale_idx, valid,
+                            num_scales=num_scales, iou_thres=iou_thres,
+                            max_det=cap)
+    return run
+
+
+def weighted_nms_merge(merged, num_scales: int, iou_thres: float):
+    """Host entry point for the TTA merge: (n, >=7) numpy rows
+    [x1, y1, x2, y2, conf, cls, scale_idx] -> keep indices (ascending
+    score order preserved).
+
+    Pads the candidate count to the next power-of-two bucket (min 128) so
+    repeated calls with varying detection counts reuse a small, fixed set
+    of compiled executables instead of retracing per distinct n — the
+    framework's static-shape rule applied to the merge layer."""
+    import numpy as np
+
+    n = len(merged)
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    cap = 128
+    while cap < n:
+        cap *= 2
+    boxes = np.zeros((cap, 4), np.float32)
+    conf = np.zeros((cap,), np.float32)
+    scale_idx = np.zeros((cap,), np.float32)
+    valid = np.zeros((cap,), bool)
+    boxes[:n] = merged[:, :4]
+    conf[:n] = merged[:, 4]
+    scale_idx[:n] = merged[:, 6]
+    valid[:n] = True
+    idx, ok = _weighted_nms_exec(cap, num_scales, float(iou_thres))(
+        boxes, conf, scale_idx, valid)
+    return np.asarray(idx)[np.asarray(ok)]

@@ -137,3 +137,24 @@ def test_weighted_nms_vs_reference():
     # the reference returns keepers in torchvision nms order (by weighted
     # score); ours likewise
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_weighted_nms_merge_padded_matches_direct():
+    """The bucket-padded host entry point returns the same keepers as the
+    exact-shape weighted NMS, and reuses one executable per bucket."""
+    for n, seed in [(37, 1), (100, 2), (129, 3), (511, 4)]:
+        boxes, conf = random_dets(n, seed, size=2000)
+        rng = np.random.default_rng(seed)
+        scale_idx = rng.integers(0, 3, n).astype(np.float32)
+        merged = np.concatenate([
+            boxes, conf[:, None], np.zeros((n, 1), np.float32),
+            scale_idx[:, None]], axis=1)
+        idx, valid = N.weighted_nms(
+            boxes, conf, scale_idx, np.ones(n, bool),
+            num_scales=3, iou_thres=0.5, max_det=n)
+        want = np.asarray(idx)[np.asarray(valid)]
+        got = N.weighted_nms_merge(merged, 3, 0.5)
+        np.testing.assert_array_equal(got, want)
+    # 37 and 100 share the 128 bucket (129 -> 256, 511 -> 512)
+    info = N._weighted_nms_exec.cache_info()
+    assert info.hits >= 1 and info.misses <= 3
