@@ -62,6 +62,12 @@ def main(argv=None):
                     help="random batch resize +/-50%% in stride steps "
                          "(train.py:417-422); one compile per size, "
                          "cached")
+    ap.add_argument("--freeze-until", type=int, default=None,
+                    metavar="N",
+                    help="freeze graph nodes 0..N (train.py:101-153)")
+    ap.add_argument("--image-weights", action="store_true",
+                    help="per-epoch weighted image resampling by class "
+                         "rarity x (1-mAP)^2 (train.py:374-385)")
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--evolve", type=int, nargs="?", const=300,
                     default=None, metavar="GENERATIONS",
@@ -182,7 +188,18 @@ def train_run(args, hyp_override=None, quiet=False):
         min_warmup_steps=args.min_warmup_steps,
         warmup_momentum=hyp["warmup_momentum"],
         warmup_bias_lr=hyp["warmup_bias_lr"],
-        batch_size=args.batch_size, linear_lr=args.linear_lr)
+        batch_size=args.batch_size, linear_lr=args.linear_lr,
+        freeze_until=args.freeze_until)
+    if args.freeze_until is not None:
+        from face_detection_multi_scale_tpu.train.trainer import (
+            freeze_summary)
+        nfrz, ntrn, frz_layers = freeze_summary(variables["params"],
+                                                args.freeze_until)
+        total = nfrz + ntrn
+        print(f"Freezing layers 0..{args.freeze_until}: "
+              f"{sorted(frz_layers)} | frozen {nfrz:,} / trainable "
+              f"{ntrn:,} params "
+              f"({ntrn / max(total, 1) * 100:.2f}% trainable)")
 
     state = create_train_state(variables)
     start_epoch = 0
@@ -212,7 +229,27 @@ def train_run(args, hyp_override=None, quiet=False):
     with mesh:
         data_sh = batch_sharding(mesh)
         state = jax.device_put(state, replicated(mesh))
+        class_weights = None
+        maps = np.zeros(nc)
         for epoch in range(start_epoch, args.epochs):
+            if args.image_weights:
+                # weighted image resampling (train.py:374-385): class
+                # rarity x (1 - per-class mAP)^2. Every host draws with
+                # the same epoch-seeded RNG, so the resampled pool is
+                # identical across hosts — the dist.broadcast equivalent.
+                import random as _random
+
+                from face_detection_multi_scale_tpu.utils.general import (
+                    labels_to_class_weights, labels_to_image_weights)
+                if class_weights is None:
+                    class_weights = labels_to_class_weights(
+                        train_ds.labels, nc)
+                cw = class_weights * (1 - maps) ** 2 / nc
+                iw = labels_to_image_weights(train_ds.labels, nc=nc,
+                                             class_weights=cw)
+                rng = _random.Random(args.seed + epoch)
+                train_ds.indices = rng.choices(
+                    range(train_ds.n), weights=iw, k=train_ds.n)
             loader.set_epoch(epoch)
             t0 = time.time()
             mloss = np.zeros(6)
@@ -300,6 +337,14 @@ train_plots import plot_images
                         batch_size=args.val_batch_size or args.batch_size)
                     fit = fitness(results["mp"], results["mr"],
                                   results["map50"], results["map"])
+                    # feeds next epoch's image-weights resample (the
+                    # reference's `maps`, train.py:377,489). NOTE: only
+                    # the main process validates; in a true multi-host
+                    # run the epoch-seeded RNG keeps index draws aligned
+                    # only while every host sees the same maps, so
+                    # multi-host + --image-weights would need a maps
+                    # broadcast (single-host covers all current targets).
+                    maps[:] = results["map"]
                 if results:
                     logger.log((epoch + 1) * steps_per_epoch, {
                         "metrics/precision": results["mp"],

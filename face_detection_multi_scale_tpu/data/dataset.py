@@ -255,7 +255,10 @@ class FaceDataset:
     def get(self, index: int):
         """One training example: (img HWC RGB uint8, labels (n, 5+2k)
         normalized, path, shapes). The augmentation RNG draw order matches
-        reference __getitem__ (utils/datasets.py:551-645) exactly."""
+        reference __getitem__ (utils/datasets.py:551-645) exactly,
+        including the indices indirection (utils/datasets.py:551) that
+        image-weights resampling rewrites each epoch (train.py:374-385)."""
+        index = self.indices[index]
         hyp = self.hyp
         mosaic = (self.mosaic
                   and random.random() < hyp.get("mosaic", 0.0))

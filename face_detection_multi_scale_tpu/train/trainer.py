@@ -59,6 +59,48 @@ def _param_group(path: Tuple[str, ...]) -> str:
     return "other"
 
 
+def _layer_index(path: Tuple[str, ...]):
+    """Graph-node index of a param leaf from its top-level module name
+    (`model_{i}` / `model_{i}_{j}`), mirroring the reference's
+    `model.{i}.` param-name parsing (train.py:113-119)."""
+    top = path[0]
+    if top.startswith("model_"):
+        part = top.split("_")[1]
+        if part.isdigit():
+            return int(part)
+    return None
+
+
+def freeze_tree(params, freeze_until):
+    """Pytree of bool: True = parameter frozen (layers 0..freeze_until,
+    the reference --freeze-until semantics, train.py:101-146). BN running
+    statistics still update in train mode, as they do for the reference's
+    requires_grad=False layers under model.train()."""
+    if freeze_until is None:
+        return jax.tree.map(lambda _: False, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: (lambda li: li is not None and li <= freeze_until)(
+            _layer_index(tuple(k.key for k in kp))), params)
+
+
+def freeze_summary(params, freeze_until):
+    """(frozen_param_count, trainable_param_count, frozen_layer_indices)
+    — the reference's freezing report (train.py:121-146)."""
+    frozen = trainable = 0
+    layers = set()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for kp, leaf in flat:
+        path = tuple(k.key for k in kp)
+        li = _layer_index(path)
+        if freeze_until is not None and li is not None and \
+                li <= freeze_until:
+            frozen += leaf.size
+            layers.add(li)
+        else:
+            trainable += leaf.size
+    return frozen, trainable, sorted(layers)
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -86,6 +128,9 @@ class TrainConfig:
     # the reference floors warmup at 1000 iterations (train.py:398);
     # configurable so tiny datasets can actually leave warmup
     min_warmup_steps: int = 1000
+    # freeze graph nodes 0..freeze_until (reference --freeze-until,
+    # train.py:101-146); None trains all layers
+    freeze_until: Any = None
 
     @property
     def warmup_steps(self) -> int:
@@ -139,14 +184,19 @@ def _group_tree(params):
 
 def sgd_apply(cfg: TrainConfig, params, grads, bufs, step):
     """Nesterov SGD with coupled weight decay on kernels and per-group lr,
-    matching torch.optim.SGD semantics (train.py:182-189)."""
+    matching torch.optim.SGD semantics (train.py:182-189). Frozen leaves
+    (cfg.freeze_until) pass through unchanged — the requires_grad=False
+    equivalent."""
     groups = _group_tree(params)
+    frozen = freeze_tree(params, cfg.freeze_until)
     mom = cfg.momentum_at(step)
     lr_k = cfg.lr_at(step, "kernel")
     lr_b = cfg.lr_at(step, "bias")
     lr_o = cfg.lr_at(step, "other")
 
-    def upd(p, g, buf, grp):
+    def upd(p, g, buf, grp, frz):
+        if frz:
+            return p, buf
         g = g.astype(jnp.float32)
         if grp == "kernel":
             g = g + cfg.weight_decay * p
@@ -159,9 +209,11 @@ def sgd_apply(cfg: TrainConfig, params, grads, bufs, step):
     flat_g = treedef.flatten_up_to(grads)
     flat_b = treedef.flatten_up_to(bufs)
     flat_grp = treedef.flatten_up_to(groups)
+    flat_frz = treedef.flatten_up_to(frozen)
     new_p, new_b = [], []
-    for p, g, b, grp in zip(flat_p, flat_g, flat_b, flat_grp):
-        np_, nb_ = upd(p, g, b, grp)
+    for p, g, b, grp, frz in zip(flat_p, flat_g, flat_b, flat_grp,
+                                 flat_frz):
+        np_, nb_ = upd(p, g, b, grp, frz)
         new_p.append(np_)
         new_b.append(nb_)
     return (jax.tree_util.tree_unflatten(treedef, new_p),
