@@ -49,6 +49,9 @@ def main(argv=None):
     ap.add_argument("--noval", action="store_true")
     ap.add_argument("--linear-lr", action="store_true")
     ap.add_argument("--cache-images", action="store_true")
+    ap.add_argument("--workers", type=int, default=8,
+                    help="loader sample-fetch threads (reference "
+                         "dataloader workers, utils/datasets.py:59-87)")
     ap.add_argument("--project", default="runs/train")
     ap.add_argument("--name", default="exp")
     ap.add_argument("--exist-ok", action="store_true")
@@ -170,7 +173,7 @@ def train_run(args, hyp_override=None, quiet=False):
                 load_torch_checkpoint(args.weights))
 
     loader = DataLoader(train_ds, args.batch_size, shuffle=True,
-                        seed=args.seed,
+                        seed=args.seed, workers=args.workers,
                         num_hosts=jax.process_count(),
                         host_id=jax.process_index())
     steps_per_epoch = max(len(loader), 1)
@@ -254,7 +257,15 @@ def train_run(args, hyp_override=None, quiet=False):
             t0 = time.time()
             mloss = np.zeros(6)
             nb = 0
-            for images, labels, paths, shapes in loader:
+            t_wait = 0.0  # time blocked on the input pipeline
+            batch_iter = iter(loader)
+            while True:
+                tw = time.time()
+                item = next(batch_iter, None)
+                t_wait += time.time() - tw
+                if item is None:
+                    break
+                images, labels, paths, shapes = item
                 if args.multi_scale:
                     # random size in [0.5, 1.5] x img_size rounded to the
                     # stride grid; labels are normalized so only the
@@ -325,6 +336,16 @@ train_plots import plot_images
                               f"total {c[5]:.4f}")
             dt = time.time() - t0
             c = mloss / max(nb, 1)
+            if is_main_process() and nb:
+                # input-pipeline health: fraction of the epoch blocked on
+                # the loader; >30% means raise --workers / --cache-images
+                wait_frac = t_wait / max(dt, 1e-9)
+                logger.log((epoch + 1) * steps_per_epoch,
+                           {"x/loader_wait_frac": wait_frac})
+                if not quiet:
+                    print(f"  loader wait {t_wait:.1f}s / epoch {dt:.1f}s "
+                          f"({wait_frac * 100:.0f}% input-bound, "
+                          f"{args.workers} workers)")
 
             if is_main_process():
                 fit = -1.0

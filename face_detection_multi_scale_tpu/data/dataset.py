@@ -486,6 +486,13 @@ class DataLoader:
 
     Per-host sharding replaces DistributedSampler (utils/datasets.py:78):
     host k of K takes every K-th index after the epoch-seeded shuffle.
+
+    `workers` > 1 fetches the samples of each batch through a thread
+    pool (mosaic + perspective are cv2/numpy-heavy and release the GIL),
+    the InfiniteDataLoader-with-workers equivalent
+    (utils/datasets.py:59-121); the prefetch queue overlaps batch
+    assembly with the train step. workers <= 1 keeps the exact serial
+    global-RNG draw order the seeded parity tests rely on.
     """
 
     def __init__(self, dataset: FaceDataset, batch_size: int,
@@ -525,11 +532,27 @@ class DataLoader:
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
 
         def produce():
-            for b in range(nb):
-                chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = [self.dataset.get(int(i)) for i in chunk]
-                q.put(collate(samples))
-            q.put(None)
+            try:
+                if self.workers > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(self.workers) as ex:
+                        for b in range(nb):
+                            chunk = idx[b * self.batch_size:
+                                        (b + 1) * self.batch_size]
+                            samples = list(ex.map(
+                                self.dataset.get,
+                                [int(i) for i in chunk]))
+                            q.put(collate(samples))
+                else:
+                    for b in range(nb):
+                        chunk = idx[b * self.batch_size:
+                                    (b + 1) * self.batch_size]
+                        samples = [self.dataset.get(int(i))
+                                   for i in chunk]
+                        q.put(collate(samples))
+                q.put(None)
+            except BaseException as e:  # surface worker errors
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -537,4 +560,6 @@ class DataLoader:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

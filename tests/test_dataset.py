@@ -130,3 +130,61 @@ def test_dataloader_shards_and_batches(fake_data):
     pb = {p for _, _, ps, _ in b for p in ps}
     assert not (pa & pb)
     assert len(pa | pb) == len(ds)
+
+
+def test_dataloader_parallel_workers(fake_data):
+    """workers > 1 yields the same batch structure (same images per
+    batch, order preserved within the epoch) and actually overlaps
+    sample fetches."""
+    import time
+
+    ds = FaceDataset(fake_data, img_size=192, augment=False, hyp={})
+    serial = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                             workers=1))
+    parallel = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                               workers=4))
+    assert len(serial) == len(parallel)
+    for (si, sl, sp, _), (pi, pl, pp, _) in zip(serial, parallel):
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_allclose(sl, pl)
+        assert sp == pp
+
+    class SlowDS:
+        """get() sleeps: parallel fetch must overlap the waits."""
+        n = 16
+        indices = list(range(16))
+
+        def __len__(self):
+            return self.n
+
+        def get(self, i):
+            time.sleep(0.05)
+            img = np.zeros((8, 8, 3), np.uint8)
+            return img, np.zeros((0, 15), np.float32), f"p{i}", None
+
+    t0 = time.perf_counter()
+    list(DataLoader(SlowDS(), batch_size=8, shuffle=False, workers=1,
+                    prefetch=1))
+    t_serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    list(DataLoader(SlowDS(), batch_size=8, shuffle=False, workers=8,
+                    prefetch=1))
+    t_parallel = time.perf_counter() - t0
+    assert t_parallel < t_serial / 2, (t_serial, t_parallel)
+
+
+def test_dataloader_propagates_worker_errors(fake_data):
+    class BadDS:
+        n = 4
+        indices = list(range(4))
+
+        def __len__(self):
+            return self.n
+
+        def get(self, i):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(BadDS(), batch_size=2, shuffle=False, workers=4))
+    with pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(BadDS(), batch_size=2, shuffle=False, workers=1))
