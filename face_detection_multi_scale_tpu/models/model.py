@@ -162,9 +162,12 @@ class YoloFace(nn.Module):
             if op == "Concat":
                 x = jnp.concatenate(inp, axis=-1)
             elif op == "ADD":
-                # torch.add(x1, x2, alpha=0.5): x1 + 0.5 * x2
-                # (reference models/common.py:473-481)
-                x = inp[0] + 0.5 * inp[1]
+                # torch.add(x1, x2, alpha): the lite cfgs pass alpha=1
+                # through parse_model's generic ADD(*args) construction
+                # (models/common.py:473-481, models/yolo.py:509,527 —
+                # the class default 0.5 is never used by any face cfg)
+                alpha = float(node.args[0]) if node.args else 0.5
+                x = inp[0] + alpha * inp[1]
             elif op == "Upsample":
                 x = L.upsample2x_nearest(inp)
             elif op == "ZeroPad2d":

@@ -142,6 +142,9 @@ def test_weighted_nms_vs_reference():
 def test_weighted_nms_merge_padded_matches_direct():
     """The bucket-padded host entry point returns the same keepers as the
     exact-shape weighted NMS, and reuses one executable per bucket."""
+    # the executable cache is process-global; reset so the hit/miss
+    # accounting below is independent of which tests ran before this one
+    N._weighted_nms_exec.cache_clear()
     for n, seed in [(37, 1), (100, 2), (129, 3), (511, 4)]:
         boxes, conf = random_dets(n, seed, size=2000)
         rng = np.random.default_rng(seed)
