@@ -56,7 +56,9 @@ def run_val(args, img_size):
         data = yaml.safe_load(f)
     ds = FaceDataset(data["val"], img_size=img_size, augment=False,
                      hyp={}, kpt_label=args.kpt_label,
-                     stride=spec.max_stride)
+                     stride=spec.max_stride, rect=args.rect,
+                     batch_size=args.batch_size,
+                     pad=0.5 if args.rect else 0.0)
     return validate(model, variables, ds, batch_size=args.batch_size,
                     conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                     augment=args.augment, flip_test=args.flip_test)
@@ -108,6 +110,12 @@ def main(argv=None):
     ap.add_argument("--task", default="val",
                     choices=["val", "test", "speed", "study"])
     ap.add_argument("--kpt-label", type=int, default=5)
+    ap.add_argument("--rect", action="store_true",
+                    help="aspect-ratio batched val (rect=True, pad=0.5 — "
+                         "the upstream test.py:114-119 protocol; off by "
+                         "default because the reference fork hard-forces "
+                         "rect=False in utils/datasets.py:357, so its "
+                         "actual val protocol is the square letterbox)")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--augment", action="store_true",

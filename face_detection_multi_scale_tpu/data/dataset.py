@@ -103,13 +103,15 @@ class FaceDataset:
     def __init__(self, path, img_size: int = 640, augment: bool = False,
                  hyp: Optional[Dict] = None, kpt_label: int = 5,
                  stride: int = 32, cache_images: bool = False,
-                 prefix: str = ""):
+                 prefix: str = "", rect: bool = False,
+                 batch_size: int = 16, pad: float = 0.0):
         self.img_size = img_size
         self.augment = augment
         self.hyp = hyp or {}
         self.kpt_label = kpt_label
         self.stride = stride
-        self.mosaic = augment
+        self.rect = rect
+        self.mosaic = augment and not rect
         self.mosaic_border = [-img_size // 2, -img_size // 2]
 
         # enumerate images (dir / list-file / list of either,
@@ -166,6 +168,37 @@ class FaceDataset:
         self.labels, self.shapes = cache  # shapes: (n, 2) as (w, h)
         self.n = len(self.img_files)
         self.indices = list(range(self.n))
+
+        # Rectangular batching: sort by aspect ratio and give each batch
+        # the minimal stride-aligned (h, w) that fits its images
+        # (utils/datasets.py:431-454). NOTE the reference fork hard-forces
+        # `self.rect = False` (utils/datasets.py:357), so its own val
+        # protocol always runs the square letterbox — rect here is the
+        # opt-in restoration of the upstream protocol, off by default.
+        self.batch = np.floor(
+            np.arange(self.n) / batch_size).astype(int)
+        self.batch_shapes = None
+        if rect:
+            s = np.asarray(self.shapes, np.float64)  # (n, 2) wh
+            ar = s[:, 1] / s[:, 0]  # h / w
+            irect = ar.argsort()
+            self.img_files = [self.img_files[i] for i in irect]
+            self.label_files = [self.label_files[i] for i in irect]
+            self.labels = [self.labels[i] for i in irect]
+            self.shapes = s[irect]
+            ar = ar[irect]
+            nb = int(self.batch[-1]) + 1
+            shapes_b = [[1.0, 1.0]] * nb
+            for i in range(nb):
+                ari = ar[self.batch == i]
+                mini, maxi = ari.min(), ari.max()
+                if maxi < 1:
+                    shapes_b[i] = [maxi, 1.0]
+                elif mini > 1:
+                    shapes_b[i] = [1.0, 1.0 / mini]
+            self.batch_shapes = (np.ceil(
+                np.array(shapes_b) * img_size / stride + pad)
+                .astype(int) * stride)
         self._img_cache: Dict[int, Tuple] = {}
         if cache_images:
             for i in range(self.n):
@@ -273,7 +306,11 @@ class FaceDataset:
                 labels = np.concatenate((labels, labels2), 0)
         else:
             img, (h0, w0), (h, w) = self.load_image(index)
-            img, ratio, pad = letterbox(img, self.img_size, auto=False,
+            # per-batch rect shape when rect, else the square img_size
+            # (utils/datasets.py:573)
+            shape = (tuple(self.batch_shapes[self.batch[index]])
+                     if self.rect else self.img_size)
+            img, ratio, pad = letterbox(img, shape, auto=False,
                                         scaleup=self.augment)
             shapes = (h0, w0), ((h / h0, w / w0), pad)
             labels = self.labels[index].copy()

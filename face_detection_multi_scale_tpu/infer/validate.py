@@ -33,7 +33,6 @@ def validate(model, variables, dataset: FaceDataset, *,
     the letterboxed frame), predictions and GT are both mapped to native
     space before matching (test.py:172-279)."""
     spec: ModelSpec = model.spec
-    img_size = dataset.img_size
 
     from face_detection_multi_scale_tpu.infer.augment import (
         forward_augment, forward_flip_test)
@@ -57,6 +56,10 @@ def validate(model, variables, dataset: FaceDataset, *,
     t_infer = 0.0
     n_images = 0
     for images, labels, paths, shapes in loader:
+        # (h_in, w_in) is the network input frame: the square img_size by
+        # default, or the per-batch rect shape when the dataset was built
+        # with rect=True (one compiled executable per distinct shape)
+        h_in, w_in = images.shape[1:3]
         t0 = time.perf_counter()
         dets = run(variables, images)
         rows_list = NMS.detections_to_numpy(dets)
@@ -68,12 +71,12 @@ def validate(model, variables, dataset: FaceDataset, *,
             tcls = l[:, 1]
             pred = rows[:, :6].astype(np.float64).copy()
             if len(pred):
-                scale_coords((img_size, img_size), pred[:, :4],
+                scale_coords((h_in, w_in), pred[:, :4],
                              (h0, w0), ratio_pad=((rh, rw), pad))
             if len(l):
                 tbox = np.asarray(xywh2xyxy(
-                    l[:, 2:6] * [img_size, img_size, img_size, img_size]))
-                tbox = scale_coords((img_size, img_size),
+                    l[:, 2:6] * [w_in, h_in, w_in, h_in]))
+                tbox = scale_coords((h_in, w_in),
                                     tbox.astype(np.float64), (h0, w0),
                                     ratio_pad=((rh, rw), pad))
                 correct = match_predictions(pred, tbox, tcls)
