@@ -36,6 +36,87 @@ def measure(fn, fetch, batches, iters):
     return time.perf_counter() - t0
 
 
+def run_point(model_name: str, img_size: int, batch: int, iters: int,
+              pool: int, dtype_name: str, conf_thres: float,
+              max_candidates: int, with_h2d: bool = True) -> dict:
+    """Measure one (model, size, batch, dtype, conf) operating point."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.head import decode
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.ops import nms as NMS
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    spec = zoo.get_spec(model_name)
+    model, variables = init_model(spec, img_size=64, dtype=dtype)
+
+    @jax.jit
+    def engine(x):
+        raws = model.apply(variables, x.astype(dtype) / 255.0, train=False)
+        dets = NMS.non_max_suppression(
+            decode(raws, spec), conf_thres, 0.5, nc=spec.nc,
+            nkpt=spec.nkpt, max_candidates=max_candidates, max_det=300)
+        # scalar reduction forces full execution at fetch time
+        return dets.boxes.sum() + dets.scores.sum()
+
+    rng = np.random.default_rng(0)
+    host_batches = [
+        rng.integers(0, 255, (batch, img_size, img_size, 3),
+                     dtype=np.uint8) for _ in range(pool)]
+
+    # primary: device-resident inputs
+    resident = [jax.device_put(b) for b in host_batches]
+    jax.block_until_ready(resident)
+    dt = measure(engine, float, resident, iters)
+    point = {
+        "model": model_name, "img_size": img_size, "batch": batch,
+        "dtype": dtype_name, "conf_thres": conf_thres,
+        "max_candidates": max_candidates,
+        "images_per_sec": round(batch * iters / dt, 2),
+    }
+
+    if with_h2d:
+        # aux: H2D included (device_put inside the loop)
+        def engine_h2d(b):
+            return engine(jax.device_put(b))
+
+        h2d_iters = max(iters // 3, 2)
+        dt2 = measure(engine_h2d, float, host_batches, h2d_iters)
+        point["images_per_sec_h2d"] = round(batch * h2d_iters / dt2, 2)
+    return point
+
+
+def run_sweep(smoke: bool) -> list:
+    """The published operating-point table: the serving point
+    (tiny-face, the latency/throughput model) and the AP-parity flagship
+    (yolov7-w6-face — the production checkpointed architecture behind the
+    WIDER hard 0.830 target, reference multi_scale_face_detector.py:696)
+    at 640 and its P6-native 1280, plus a loaded-postprocess point at the
+    WIDER eval conf 0.01 where the NMS stage actually works."""
+    if smoke:
+        pts = [("yolov7-lite-t", 128, 2, 2, 2, "float32", 0.25, 256),
+               ("yolov7-lite-t", 128, 2, 2, 2, "float32", 0.01, 256)]
+    else:
+        pts = [
+            # serving point (headline): small model, large batch
+            ("yolov7-tiny-face", 640, 128, 30, 4, "bfloat16", 0.25, 1024),
+            # serving point under eval-density postprocess load
+            ("yolov7-tiny-face", 640, 128, 15, 4, "bfloat16", 0.01, 4096),
+            # AP-parity flagship at the TTA base scale
+            ("yolov7-w6-face", 640, 32, 15, 4, "bfloat16", 0.25, 1024),
+            ("yolov7-w6-face", 640, 32, 10, 4, "bfloat16", 0.01, 4096),
+            # flagship at its P6-native resolution
+            ("yolov7-w6-face", 1280, 8, 10, 4, "bfloat16", 0.25, 1024),
+        ]
+    rows = []
+    for p in pts:
+        rows.append(run_point(*p))
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov7-tiny-face")
@@ -49,7 +130,12 @@ def main():
     ap.add_argument("--conf-thres", type=float, default=0.25)
     ap.add_argument("--max-candidates", type=int, default=1024,
                     help="pre-NMS candidate cap (1024 is ample at the "
-                         "serving conf threshold)")
+                         "serving conf threshold; the WIDER eval point "
+                         "conf 0.01 needs 4096+, an accuracy knob)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure the full operating-point table "
+                         "(serving + AP-parity flagship) and write "
+                         "BENCH_SWEEP.json next to this script")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-friendly configuration")
     args = ap.parse_args()
@@ -58,55 +144,27 @@ def main():
         args.model, args.img_size, args.batch = "yolov7-lite-t", 128, 2
         args.iters, args.pool, args.dtype = 2, 2, "float32"
 
-    import jax
-    import jax.numpy as jnp
+    if args.sweep:
+        import pathlib
+        rows = run_sweep(args.smoke)
+        out = pathlib.Path(__file__).parent / "BENCH_SWEEP.json"
+        out.write_text(json.dumps(rows, indent=1))
+        print(json.dumps({"sweep": rows}))
+        return 0
 
-    from face_detection_multi_scale_tpu.models import zoo
-    from face_detection_multi_scale_tpu.models.head import decode
-    from face_detection_multi_scale_tpu.models.model import init_model
-    from face_detection_multi_scale_tpu.ops import nms as NMS
-
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    spec = zoo.get_spec(args.model)
-    model, variables = init_model(spec, img_size=64, dtype=dtype)
-
-    @jax.jit
-    def engine(x):
-        raws = model.apply(variables, x.astype(dtype) / 255.0, train=False)
-        dets = NMS.non_max_suppression(
-            decode(raws, spec), args.conf_thres, 0.5, nc=spec.nc,
-            nkpt=spec.nkpt, max_candidates=args.max_candidates,
-            max_det=300)
-        # scalar reduction forces full execution at fetch time
-        return dets.boxes.sum() + dets.scores.sum()
-
-    rng = np.random.default_rng(0)
-    host_batches = [
-        rng.integers(0, 255, (args.batch, args.img_size, args.img_size, 3),
-                     dtype=np.uint8) for _ in range(args.pool)]
-
-    # primary: device-resident inputs
-    resident = [jax.device_put(b) for b in host_batches]
-    jax.block_until_ready(resident)
-    dt = measure(engine, float, resident, args.iters)
-    resident_ips = args.batch * args.iters / dt
-
-    # aux: H2D included (device_put inside the loop)
-    def engine_h2d(b):
-        return engine(jax.device_put(b))
-
-    h2d_iters = max(args.iters // 3, 2)
-    dt2 = measure(engine_h2d, float, host_batches, h2d_iters)
-    h2d_ips = args.batch * h2d_iters / dt2
-
+    point = run_point(args.model, args.img_size, args.batch, args.iters,
+                      args.pool, args.dtype, args.conf_thres,
+                      args.max_candidates)
     result = {
         "metric": (f"{args.model} {args.img_size}px images/sec/chip "
                    f"(batch={args.batch}, {args.dtype}, fused "
                    f"infer+decode+NMS, device-resident inputs; "
-                   f"with H2D over tunnel: {h2d_ips:.0f} img/s)"),
-        "value": round(resident_ips, 2),
+                   f"with H2D over tunnel: "
+                   f"{point['images_per_sec_h2d']:.0f} img/s; flagship "
+                   f"AP-parity numbers in BENCH_SWEEP.json)"),
+        "value": point["images_per_sec"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(resident_ips / 2000.0, 4),
+        "vs_baseline": round(point["images_per_sec"] / 2000.0, 4),
     }
     print(json.dumps(result))
     return 0

@@ -283,6 +283,72 @@ class FaceDataset:
             perspective=self.hyp.get("perspective", 0.0),
             border=self.mosaic_border, kpt_label=self.kpt_label)
 
+    def load_mosaic9(self, index: int):
+        """9-image mosaic + random_perspective
+        (utils/datasets.py:780-852). Unused by the default face recipe
+        (reference __getitem__ only calls load_mosaic); provided for
+        surface completeness with the same seeded draw order. Mirrors the
+        reference's kpt quirk: the placement step maps only the box
+        columns to mosaic pixels (xywhn2xyxy is called without kpt_label
+        at utils/datasets.py:819), keypoint columns pass through."""
+        s = self.img_size
+        labels9 = []
+        indices = [index] + random.choices(self.indices, k=8)
+        img9 = None
+        h0 = w0 = hp = wp = 0
+        for i, idx in enumerate(indices):
+            img, _, (h, w) = self.load_image(idx)
+            if i == 0:  # center
+                img9 = np.full((s * 3, s * 3, img.shape[2]), 114, np.uint8)
+                h0, w0 = h, w
+                c = s, s, s + w, s + h
+            elif i == 1:  # top
+                c = s, s - h, s + w, s
+            elif i == 2:  # top right
+                c = s + wp, s - h, s + wp + w, s
+            elif i == 3:  # right
+                c = s + w0, s, s + w0 + w, s + h
+            elif i == 4:  # bottom right
+                c = s + w0, s + hp, s + w0 + w, s + hp + h
+            elif i == 5:  # bottom
+                c = s + w0 - w, s + h0, s + w0, s + h0 + h
+            elif i == 6:  # bottom left
+                c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+            elif i == 7:  # left
+                c = s - w, s + h0 - h, s, s + h0
+            else:  # top left
+                c = s - w, s + h0 - hp - h, s, s + h0 - hp
+
+            padx, pady = c[:2]
+            x1, y1, x2, y2 = (max(x, 0) for x in c)
+
+            labels = self.labels[idx].copy()
+            if labels.size:
+                # box columns only (reference utils/datasets.py:819)
+                labels[:, 1:5] = _xywhn2xyxy_kpt(
+                    labels[:, 1:5], w, h, padx, pady, kpt_label=0)
+            labels9.append(labels)
+
+            img9[y1:y2, x1:x2] = img[y1 - pady:, x1 - padx:]
+            hp, wp = h, w
+
+        yc, xc = (int(random.uniform(0, s)) for _ in self.mosaic_border)
+        img9 = img9[yc:yc + 2 * s, xc:xc + 2 * s]
+
+        labels9 = np.concatenate(labels9, 0)
+        labels9[:, [1, 3]] -= xc
+        labels9[:, [2, 4]] -= yc
+        np.clip(labels9[:, 1:], 0, 2 * s, out=labels9[:, 1:])
+
+        return random_perspective(
+            img9, labels9,
+            degrees=self.hyp.get("degrees", 0.0),
+            translate=self.hyp.get("translate", 0.0),
+            scale=self.hyp.get("scale", 0.0),
+            shear=self.hyp.get("shear", 0.0),
+            perspective=self.hyp.get("perspective", 0.0),
+            border=self.mosaic_border, kpt_label=self.kpt_label)
+
     # ------------------------------------------------------------------
 
     def get(self, index: int):
@@ -413,7 +479,20 @@ def random_perspective(img, targets=(), degrees=10, translate=.1, scale=.1,
                        kpt_label=0):
     """Random affine/perspective warp of image + boxes + keypoints
     (utils/datasets.py:906-1006). Same random draw order as the
-    reference."""
+    reference.
+
+    Derivation note: this function (and the mosaic placement arithmetic
+    above) is a structural transcription of the reference code, matrix
+    names and expression order included. That is deliberate, not
+    incidental: the module's contract is *seeded byte-equal* augmentation
+    — tests/test_dataset.py draws the same global-RNG stream through both
+    implementations and asserts identical pixels — which pins the
+    implementation to the reference's exact call sequence (every
+    random.uniform in the same order, every cv2 call with the same
+    arguments). A free-form reimplementation could be numerically
+    equivalent only by accident; byte-equality is what lets the rest of
+    the training stack treat the data layer as a solved, oracle-verified
+    component."""
     import cv2
 
     height = img.shape[0] + border[0] * 2
@@ -496,6 +575,121 @@ def box_candidates(box1, box2, wh_thr=2, ar_thr=20, area_thr=0.1,
     ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
     return ((w2 > wh_thr) & (h2 > wh_thr)
             & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr))
+
+
+def _bbox_ioa(box1: np.ndarray, box2: np.ndarray) -> np.ndarray:
+    """Intersection over box2 area, box1 (4,) vs box2 (n, 4) xyxy
+    (utils/datasets.py:1021-1038)."""
+    b2 = box2.T
+    inter = (np.minimum(box1[2], b2[2]) - np.maximum(box1[0], b2[0])
+             ).clip(0) * (np.minimum(box1[3], b2[3])
+                          - np.maximum(box1[1], b2[1])).clip(0)
+    area2 = (b2[2] - b2[0]) * (b2[3] - b2[1]) + 1e-16
+    return inter / area2
+
+
+def cutout(image: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """Cutout augmentation: random gray-level masks over the image, boxes
+    that end >60% obscured dropped (utils/datasets.py:1017-1061,
+    https://arxiv.org/abs/1708.04552). In-place on the image; returns the
+    surviving labels (rows of [cls, x1, y1, x2, y2, ...] pixels). Unused
+    by the default face recipe; same seeded draw order as the
+    reference."""
+    h, w = image.shape[:2]
+    scales = ([0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8
+              + [0.03125] * 16)
+    for s in scales:
+        mask_h = random.randint(1, int(h * s))
+        mask_w = random.randint(1, int(w * s))
+        xmin = max(0, random.randint(0, w) - mask_w // 2)
+        ymin = max(0, random.randint(0, h) - mask_h // 2)
+        xmax = min(w, xmin + mask_w)
+        ymax = min(h, ymin + mask_h)
+        image[ymin:ymax, xmin:xmax] = [random.randint(64, 191)
+                                       for _ in range(3)]
+        if len(labels) and s > 0.03:
+            box = np.array([xmin, ymin, xmax, ymax], np.float32)
+            labels = labels[_bbox_ioa(box, labels[:, 1:5]) < 0.60]
+    return labels
+
+
+def replicate(img: np.ndarray, labels: np.ndarray):
+    """Duplicate the smaller half of the boxes at random free positions
+    (utils/datasets.py:856-870). labels rows are [cls, x1, y1, x2, y2]
+    pixels; appended rows carry the copied class. Unused by the default
+    face recipe; same seeded draw order as the reference."""
+    h, w = img.shape[:2]
+    boxes = labels[:, 1:].astype(int)
+    x1, y1, x2, y2 = boxes.T
+    s = ((x2 - x1) + (y2 - y1)) / 2
+    for i in s.argsort()[:round(s.size * 0.5)]:
+        x1b, y1b, x2b, y2b = boxes[i]
+        bh, bw = y2b - y1b, x2b - x1b
+        yc = int(random.uniform(0, h - bh))
+        xc = int(random.uniform(0, w - bw))
+        x1a, y1a, x2a, y2a = xc, yc, xc + bw, yc + bh
+        img[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        labels = np.append(
+            labels, [[labels[i, 0], x1a, y1a, x2a, y2a]], axis=0)
+    return img, labels
+
+
+def autosplit(path, weights=(0.9, 0.1, 0.0), annotated_only: bool = False):
+    """Write autosplit_{train,val,test}.txt next to an images dir, each
+    image assigned to a split by weighted draw
+    (utils/datasets.py:1113-1133)."""
+    path = Path(path)
+    files = sorted(p for p in path.rglob("*.*")
+                   if p.suffix[1:].lower() in IMG_FORMATS)
+    indices = random.choices([0, 1, 2], weights=weights, k=len(files))
+    txt = ["autosplit_train.txt", "autosplit_val.txt",
+           "autosplit_test.txt"]
+    for x in txt:
+        if (path / x).exists():
+            (path / x).unlink()
+    for i, img in zip(indices, files):
+        if (not annotated_only
+                or Path(img2label_paths([str(img)])[0]).exists()):
+            with open(path / txt[i], "a") as f:
+                f.write(str(img) + "\n")
+
+
+def extract_boxes(path):
+    """Crop every labeled box into path/classifier/<cls>/... jpgs,
+    turning a detection dataset into a classification one
+    (utils/datasets.py:1078-1110). Boxes are padded by 1.2x + 3 px."""
+    import cv2
+    import shutil
+
+    path = Path(path)
+    if (path / "classifier").is_dir():
+        shutil.rmtree(path / "classifier")
+    for im_file in sorted(path.rglob("*.*")):
+        if im_file.suffix[1:].lower() not in IMG_FORMATS:
+            continue
+        im = cv2.imread(str(im_file))[..., ::-1]
+        h, w = im.shape[:2]
+        lb_file = Path(img2label_paths([str(im_file)])[0])
+        if not lb_file.exists():
+            continue
+        with open(lb_file) as f:
+            lb = np.array([x.split() for x in
+                           f.read().strip().splitlines()], np.float32)
+        for j, x in enumerate(lb):
+            c = int(x[0])
+            out = (path / "classifier" / str(c)
+                   / f"{path.stem}_{im_file.stem}_{j}.jpg")
+            out.parent.mkdir(parents=True, exist_ok=True)
+            b = x[1:5] * [w, h, w, h]
+            b[2:] = b[2:] * 1.2 + 3
+            bx = np.empty(4)
+            bx[0], bx[1] = b[0] - b[2] / 2, b[1] - b[3] / 2
+            bx[2], bx[3] = b[0] + b[2] / 2, b[1] + b[3] / 2
+            bx = bx.astype(int)
+            bx[[0, 2]] = np.clip(bx[[0, 2]], 0, w)
+            bx[[1, 3]] = np.clip(bx[[1, 3]], 0, h)
+            assert cv2.imwrite(str(out), im[bx[1]:bx[3], bx[0]:bx[2]]), \
+                f"box failure in {out}"
 
 
 # ---------------------------------------------------------------------------
