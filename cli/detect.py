@@ -38,15 +38,12 @@ def list_sources(source: str):
 
 
 def increment_path(path: Path, exist_ok=False) -> Path:
-    """runs/detect/exp -> exp2, exp3, ... (reference
-    utils/general.py:730-744 semantics)."""
-    if exist_ok or not path.exists():
-        return path
-    for n in range(2, 9999):
-        cand = path.with_name(f"{path.name}{n}")
-        if not cand.exists():
-            return cand
-    raise RuntimeError("increment_path exhausted")
+    """runs/detect/exp -> exp2, exp3, ... (shared library version,
+    reference utils/general.py:730-744 semantics)."""
+    from face_detection_multi_scale_tpu.utils.general import (
+        increment_path as _ip)
+
+    return _ip(path, exist_ok=exist_ok)
 
 
 def main(argv=None):

@@ -22,6 +22,124 @@ def check_img_size(img_size: int, s: int = 32) -> int:
     return new_size
 
 
+def increment_path(path, exist_ok: bool = False, mkdir: bool = False):
+    """runs/exp -> runs/exp2, runs/exp3, ... (reference
+    utils/general.py:730-744). Returns the first free path; with
+    ``mkdir`` also creates the directory."""
+    from pathlib import Path
+
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        suffix = path.suffix
+        stem = path.with_suffix("")
+        n = 2
+        while Path(f"{stem}{n}{suffix}").exists():
+            n += 1
+        path = Path(f"{stem}{n}{suffix}")
+    if mkdir:
+        (path if not path.suffix else path.parent).mkdir(
+            parents=True, exist_ok=True)
+    return path
+
+
+def _xyxy2xywh_np(x):
+    import numpy as np
+
+    y = np.copy(x).astype(np.float64)
+    y[:, 0] = (x[:, 0] + x[:, 2]) / 2
+    y[:, 1] = (x[:, 1] + x[:, 3]) / 2
+    y[:, 2] = x[:, 2] - x[:, 0]
+    y[:, 3] = x[:, 3] - x[:, 1]
+    return y
+
+
+def _xywh2xyxy_np(x):
+    import numpy as np
+
+    y = np.copy(x)
+    y[:, 0] = x[:, 0] - x[:, 2] / 2
+    y[:, 1] = x[:, 1] - x[:, 3] / 2
+    y[:, 2] = x[:, 0] + x[:, 2] / 2
+    y[:, 3] = x[:, 1] + x[:, 3] / 2
+    return y
+
+
+def save_one_box(xyxy, im, file="image.jpg", gain: float = 1.02,
+                 pad: int = 10, square: bool = False, BGR: bool = False):
+    """Save one padded detection crop (reference
+    utils/general.py:717-727): box wh * gain + pad, optional
+    square-ification, clipped to the image, written under an
+    increment_path'd name. ``im`` is HWC BGR (cv2 convention)."""
+    import cv2
+    import numpy as np
+
+    b = _xyxy2xywh_np(np.asarray(xyxy, np.float64).reshape(-1, 4))
+    if square:
+        b[:, 2:] = b[:, 2:].max(1, keepdims=True)
+    b[:, 2:] = b[:, 2:] * gain + pad
+    box = _xywh2xyxy_np(b).astype(int)
+    h, w = im.shape[:2]
+    box[:, [0, 2]] = box[:, [0, 2]].clip(0, w)
+    box[:, [1, 3]] = box[:, [1, 3]].clip(0, h)
+    crop = im[box[0, 1]:box[0, 3], box[0, 0]:box[0, 2]]
+    out = increment_path(file, mkdir=True).with_suffix(".jpg")
+    cv2.imwrite(str(out), np.ascontiguousarray(
+        crop if BGR else crop[..., ::-1]))
+    return out
+
+
+def apply_classifier(dets_per_image, classify_fn, img_shape, im0s):
+    """Second-stage classifier hook (reference utils/general.py:682-714):
+    for each image's detections, cut out the (square-padded, rescaled)
+    boxes, resize each crop to 224x224 RGB [0,1], run the classifier,
+    and keep only detections whose first-stage class agrees.
+
+    TPU-native shape: ``classify_fn`` receives ONE (N, 224, 224, 3)
+    float32 NHWC batch covering every crop of every image — a single
+    batched device call instead of the reference's per-image model
+    invocations — and returns (N,) predicted class indices.
+    ``dets_per_image`` is a list of (n_i, 6+) numpy [x1,y1,x2,y2,conf,cls]
+    rows in ``img_shape`` (h, w) network-input space; ``im0s`` the
+    original BGR images.
+    """
+    import cv2
+    import numpy as np
+
+    from face_detection_multi_scale_tpu.data.letterbox import scale_coords
+
+    im0s = [im0s] if isinstance(im0s, np.ndarray) else im0s
+    crops, owners = [], []
+    mapped = []
+    for i, d in enumerate(dets_per_image):
+        d = np.array(d, np.float64, copy=True)
+        if len(d):
+            b = _xyxy2xywh_np(d[:, :4])
+            b[:, 2:] = b[:, 2:].max(1, keepdims=True)  # square
+            b[:, 2:] = b[:, 2:] * 1.3 + 30  # pad
+            d[:, :4] = _xywh2xyxy_np(b).astype(int)
+            scale_coords(img_shape, d[:, :4], im0s[i].shape)
+            for a in d:
+                cut = im0s[i][int(a[1]):int(a[3]), int(a[0]):int(a[2])]
+                im = cv2.resize(cut, (224, 224))[:, :, ::-1]  # BGR->RGB
+                crops.append(np.ascontiguousarray(im, np.float32) / 255.0)
+                owners.append(i)
+        mapped.append(d)
+    if not crops:
+        return list(dets_per_image)
+    pred2 = np.asarray(classify_fn(np.stack(crops)))
+    out = []
+    k = 0
+    for i, d in enumerate(mapped):
+        n = len(d)
+        if n:
+            agree = d[:, 5].astype(int) == pred2[k:k + n].astype(int)
+            out.append(np.asarray(dets_per_image[i])[agree])
+            k += n
+        else:
+            out.append(dets_per_image[i])
+    return out
+
+
 def labels_to_class_weights(labels, nc: int = 1):
     """Inverse-frequency class weights from training labels
     (reference utils/general.py:250-266): per-class occurrence counts

@@ -1,0 +1,111 @@
+"""Infra utilities: apply_classifier second-stage hook, save_one_box,
+increment_path (reference utils/general.py:682-744), and legacy hub cfg
+parseability (reference models/hub/*.yaml)."""
+
+import numpy as np
+import pytest
+
+from face_detection_multi_scale_tpu.utils.general import (
+    apply_classifier, increment_path, save_one_box)
+
+from oracle import import_reference
+
+ref = import_reference()
+
+
+def _fake_scene(seed, n_img=2, n_det=3, h=240, w=320):
+    rng = np.random.default_rng(seed)
+    im0s = [rng.integers(0, 255, (h, w, 3), np.uint8)
+            for _ in range(n_img)]
+    dets = []
+    for _ in range(n_img):
+        x1 = rng.uniform(10, 100, n_det)
+        y1 = rng.uniform(10, 100, n_det)
+        rows = np.stack([
+            x1, y1, x1 + rng.uniform(20, 60, n_det),
+            y1 + rng.uniform(20, 60, n_det),
+            rng.uniform(0.3, 1.0, n_det),
+            rng.integers(0, 2, n_det).astype(np.float64)], axis=1)
+        dets.append(rows.astype(np.float32))
+    return im0s, dets
+
+
+def test_apply_classifier_matches_reference():
+    """Same crops, same agreement filter as the reference hook
+    (utils/general.py:682-714); ours makes one batched NHWC call."""
+    import torch
+
+    im0s, dets = _fake_scene(0)
+    img_shape = (192, 192)  # network-input frame
+
+    def classify_brightness_np(batch_nhwc):
+        # deterministic stand-in classifier: class = mean > 0.5
+        return (batch_nhwc.mean(axis=(1, 2, 3)) > 0.5).astype(int)
+
+    class TorchBrightness(torch.nn.Module):
+        def forward(self, x):  # x: (N, 3, 224, 224) in [0,1]
+            m = x.mean(dim=(1, 2, 3))
+            return torch.stack([(m <= 0.5).float(), (m > 0.5).float()], 1)
+
+    got = apply_classifier(dets, classify_brightness_np, img_shape, im0s)
+
+    general = ref("utils.general")
+    x = [torch.from_numpy(d.copy()) for d in dets]
+    fake_img = torch.zeros(len(im0s), 3, *img_shape)
+    want = general.apply_classifier(x, TorchBrightness(), fake_img,
+                                    [im.copy() for im in im0s])
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), atol=1e-6)
+
+
+def test_apply_classifier_empty_and_passthrough():
+    im0s, dets = _fake_scene(1)
+    empty = [np.zeros((0, 6), np.float32) for _ in im0s]
+    out = apply_classifier(empty, lambda b: np.zeros(len(b)), (192, 192),
+                           im0s)
+    assert all(len(o) == 0 for o in out)
+    # a classifier that always agrees keeps everything
+    agree_all = apply_classifier(
+        dets, lambda b: np.array([1e9] * len(b)), (192, 192), im0s)
+    assert all(len(a) == 0 for a in agree_all)  # 1e9 never equals cls
+
+
+def test_save_one_box_matches_reference(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(3)
+    im = rng.integers(0, 255, (200, 300, 3), np.uint8)
+    box = [40.0, 50.0, 120.0, 140.0]
+    ours = save_one_box(box, im, file=tmp_path / "ours" / "crop.jpg")
+    general = ref("utils.general")
+    import torch
+    general.save_one_box(torch.tensor(box), im,
+                         file=tmp_path / "ref" / "crop.jpg")
+    want = cv2.imread(str(tmp_path / "ref" / "crop.jpg"))
+    got = cv2.imread(str(ours))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_increment_path(tmp_path):
+    p = tmp_path / "exp"
+    assert increment_path(p) == p
+    p.mkdir()
+    assert increment_path(p) == tmp_path / "exp2"
+    (tmp_path / "exp2").mkdir()
+    assert increment_path(p) == tmp_path / "exp3"
+    assert increment_path(p, exist_ok=True) == p
+    f = increment_path(tmp_path / "runs" / "x.jpg", mkdir=True)
+    assert f.parent.is_dir()
+
+
+@pytest.mark.parametrize("name", ["yolov3", "yolov3-spp", "yolov3-tiny"])
+def test_legacy_hub_cfgs_parse(name):
+    """The legacy hub cfgs (reference models/hub/) parse through
+    load_spec — the face pipeline never instantiates them (they use the
+    plain Detect head), but the graph-builder surface accepts them."""
+    from face_detection_multi_scale_tpu.models.spec import load_spec
+
+    s = load_spec(f"/root/reference/models/hub/{name}.yaml")
+    assert s.nc == 80 and s.nodes[-1].op == "Detect"
+    assert len(s.nodes) > 10
