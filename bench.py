@@ -52,14 +52,23 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
     spec = zoo.get_spec(model_name)
     model, variables = init_model(spec, img_size=64, dtype=dtype)
 
+    # variables ride as a jit ARGUMENT, not a closure: closed-over arrays
+    # are inlined into the HLO as constants, and on this environment the
+    # remote-compile request then exceeds the tunnel's size limit for the
+    # larger models (HTTP 413 at ~w6 scale)
+    variables = jax.device_put(variables)
+
     @jax.jit
-    def engine(x):
+    def engine_v(variables, x):
         raws = model.apply(variables, x.astype(dtype) / 255.0, train=False)
         dets = NMS.non_max_suppression(
             decode(raws, spec), conf_thres, 0.5, nc=spec.nc,
             nkpt=spec.nkpt, max_candidates=max_candidates, max_det=300)
         # scalar reduction forces full execution at fetch time
         return dets.boxes.sum() + dets.scores.sum()
+
+    def engine(x):
+        return engine_v(variables, x)
 
     rng = np.random.default_rng(0)
     host_batches = [

@@ -126,8 +126,13 @@ def train_run(args, hyp_override=None, quiet=False):
         spec.nc = nc
 
     from face_detection_multi_scale_tpu.utils.profiling import MetricsLogger
+    # resuming reattaches to the original tracker run via the id stored
+    # in the checkpoint metadata (check_wandb_resume, wandb_utils.py:42-53)
+    resume_run_id = (CKPT.peek_meta(str(ckpt_dir), "last").get("wandb_id")
+                     if args.resume else None)
     logger = MetricsLogger(str(save_dir), use_tensorboard=not args.no_tensorboard,
-                           use_wandb=args.wandb, config=vars(args))
+                           use_wandb=args.wandb, config=vars(args),
+                           run_id=resume_run_id)
 
     # snapshot run config (train.py:54-57)
     with open(save_dir / "opt.json", "w") as f:
@@ -378,7 +383,8 @@ train_plots import plot_images
                         f"{v:.5f}" for v in c) + " " + json.dumps(results)
                         + f" {dt:.1f}s\n")
                 meta = {"epoch": epoch, "best_fitness": best_fitness,
-                        "fitness": fit, "results": results}
+                        "fitness": fit, "results": results,
+                        "wandb_id": logger.run_id}
                 CKPT.save_checkpoint(str(ckpt_dir), "last", state, meta)
                 if fit > best_fitness:
                     best_fitness = fit
@@ -390,9 +396,14 @@ train_plots import plot_images
         # finalize: strip to EMA inference weights
         # (strip_optimizer equivalent)
         if is_main_process():
+            final_path = ckpt_dir / "best_inference.npz"
             CKPT.save_inference_weights(
-                str(ckpt_dir / "best_inference.npz"),
-                CKPT.strip_to_inference(state))
+                str(final_path), CKPT.strip_to_inference(state))
+            # version the stripped weights as a tracker artifact when a
+            # run is active (log_model, wandb_utils.py:201-215)
+            logger.log_artifact(final_path, f"run_{logger.run_id}_model",
+                                type="model",
+                                metadata={"fitness": best_fitness})
     logger.close()
     print(f"training complete -> {save_dir}")
     train_run.last = {"fitness": best_fitness, "save_dir": str(save_dir)}

@@ -52,6 +52,20 @@ def load_checkpoint(ckpt_dir: str, tag: str, template) -> Tuple[Any, Dict]:
     return state, meta
 
 
+def peek_meta(ckpt_dir: str, tag: str) -> Dict[str, Any]:
+    """Read just the metadata sidecar without restoring the state —
+    used before logger construction to recover the experiment-tracker
+    run id (the check_wandb_resume equivalent,
+    utils/wandb_logging/wandb_utils.py:42-53, which reads `wandb_id`
+    out of the torch ckpt dict)."""
+    meta_path = os.path.abspath(
+        os.path.join(ckpt_dir, tag)) + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
 def strip_to_inference(state) -> Dict[str, Any]:
     """EMA-preferred inference variables (the strip_optimizer equivalent,
     utils/general.py:635-648 + attempt_load EMA preference,

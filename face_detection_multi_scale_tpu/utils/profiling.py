@@ -90,13 +90,15 @@ class MetricsLogger:
 
     def __init__(self, log_dir: str, use_tensorboard: bool = True,
                  use_wandb: bool = False, wandb_project: str = "fdms-tpu",
-                 config: Optional[Dict] = None):
+                 config: Optional[Dict] = None,
+                 run_id: Optional[str] = None):
         import os
 
         os.makedirs(log_dir, exist_ok=True)
         self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self.tb = None
         self.wandb = None
+        self.run_id = run_id
         if use_tensorboard:
             try:
                 import tensorflow as tf
@@ -108,8 +110,13 @@ class MetricsLogger:
             try:
                 import wandb
 
-                self.wandb = wandb.init(project=wandb_project,
-                                        config=config or {})
+                # resume-by-id: a run id recovered from a checkpoint's
+                # metadata reattaches to the same tracker run (the
+                # check_wandb_resume path, wandb_utils.py:42-53,96-104)
+                self.wandb = wandb.init(
+                    project=wandb_project, config=config or {},
+                    id=run_id, resume="allow" if run_id else None)
+                self.run_id = getattr(self.wandb, "id", run_id)
             except Exception:
                 self.wandb = None
 
@@ -129,6 +136,21 @@ class MetricsLogger:
                 self.tb.flush()
         if self.wandb is not None:
             self.wandb.log(clean, step=step)
+
+    def log_artifact(self, path, name: str, type: str = "model",
+                     metadata: Optional[Dict] = None) -> bool:
+        """Version a file (weights, dataset snapshot) as a tracker
+        artifact (the log_model/log_dataset_artifact surface,
+        utils/wandb_logging/wandb_utils.py:127-158,201-215). No-op
+        without an active W&B run; returns whether it was uploaded."""
+        if self.wandb is None:
+            return False
+        import wandb
+
+        art = wandb.Artifact(name, type=type, metadata=metadata or {})
+        art.add_file(str(path))
+        self.wandb.log_artifact(art)
+        return True
 
     def close(self):
         self.jsonl.close()
