@@ -18,6 +18,7 @@ division by 255 happens on device so the H2D transfer is uint8.
 from __future__ import annotations
 
 import time
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -391,6 +392,74 @@ class FaceDetector:
                             kpt=True, step=3)
             out.append(rows)
         return out
+
+    def predict(self, imgs, size: int = 640):
+        """Input-robust hub inference — the autoShape forward equivalent
+        (reference models/common.py:572-639): accepts a filename, URL,
+        PIL image, HWC numpy array (RGB, per the autoShape convention),
+        CHW array, or a list of any of those; letterboxes the batch to
+        ONE stride-aligned common rectangle (max of the per-image scaled
+        shapes), runs the fused engine once, and returns a `Detections`
+        results object (xyxy/xywh/normalized/pandas/save/crop/render).
+        """
+        from face_detection_multi_scale_tpu.infer.results import (
+            Detections)
+        from face_detection_multi_scale_tpu.utils.general import (
+            make_divisible)
+
+        t = [time.perf_counter()]
+        batch = imgs if isinstance(imgs, (list, tuple)) else [imgs]
+        n = len(batch)
+        loaded, files, shape0, shape1 = [], [], [], []
+        for i, im in enumerate(batch):
+            f = f"image{i}"
+            if isinstance(im, str):
+                if im.startswith("http"):
+                    import requests
+                    from PIL import Image
+
+                    im, f = np.asarray(Image.open(
+                        requests.get(im, stream=True).raw)), im
+                else:
+                    f = im
+                    im = np.asarray(self._load(im))[:, :, ::-1]  # RGB
+            elif hasattr(im, "filename"):  # PIL Image
+                f = getattr(im, "filename", None) or f
+                im = np.asarray(im)
+            im = np.asarray(im)
+            files.append(Path(f).with_suffix(".jpg").name)
+            if im.shape[0] < 5:  # CHW input
+                im = im.transpose((1, 2, 0))
+            im = (im[:, :, :3] if im.ndim == 3
+                  else np.tile(im[:, :, None], 3))
+            s = im.shape[:2]
+            shape0.append(s)
+            g = size / max(s)
+            shape1.append([y * g for y in s])
+            loaded.append(np.ascontiguousarray(im))
+        # one common stride-aligned inference rectangle
+        # (models/common.py:619)
+        shape1 = [make_divisible(x, self.stride)
+                  for x in np.stack(shape1, 0).max(0)]
+        x = np.stack([LB.letterbox(im, tuple(shape1), auto=False)[0]
+                      for im in loaded])
+        t.append(time.perf_counter())
+        dets = self.run_network(x)
+        t.append(time.perf_counter())
+        rows_list = NMS.detections_to_numpy(dets)
+        pred = []
+        for rows, s0 in zip(rows_list, shape0):
+            rows = rows[:, :6].astype(np.float64)
+            if len(rows):
+                LB.scale_coords(tuple(shape1), rows[:, :4], s0)
+            pred.append(rows)
+        t.append(time.perf_counter())
+        names = (["face"] if self.spec.nc == 1
+                 else [str(i) for i in range(self.spec.nc)])
+        return Detections(loaded, pred, files, times=t, names=names,
+                          shape=(n, *shape1, 3))
+
+    __call__ = predict
 
     # ------------------------------------------------------------------
     # visualization / export helpers
