@@ -634,6 +634,29 @@ def replicate(img: np.ndarray, labels: np.ndarray):
     return img, labels
 
 
+def create_folder(path):
+    """Fresh output folder, removing any existing one
+    (utils/datasets.py:1064-1068)."""
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+
+
+def flatten_recursive(path):
+    """Copy every file in a directory tree into <path>_flat
+    (utils/datasets.py:1071-1076)."""
+    import shutil
+
+    new_path = Path(str(path) + "_flat")
+    create_folder(new_path)
+    for file in sorted(Path(path).rglob("*")):
+        if file.is_file():
+            shutil.copyfile(file, new_path / file.name)
+    return new_path
+
+
 def autosplit(path, weights=(0.9, 0.1, 0.0), annotated_only: bool = False):
     """Write autosplit_{train,val,test}.txt next to an images dir, each
     image assigned to a split by weighted draw

@@ -129,6 +129,20 @@ def _make_box_only_dataset(root, n_images=4, seed=13):
     return str(root / "images")
 
 
+def test_create_folder_and_flatten_recursive(tmp_path):
+    from face_detection_multi_scale_tpu.data.dataset import (
+        create_folder, flatten_recursive)
+
+    d = tmp_path / "tree"
+    (d / "a" / "b").mkdir(parents=True)
+    (d / "a" / "x.txt").write_text("1")
+    (d / "a" / "b" / "y.txt").write_text("2")
+    flat = flatten_recursive(d)
+    assert sorted(p.name for p in flat.iterdir()) == ["x.txt", "y.txt"]
+    create_folder(flat)  # recreates empty
+    assert list(flat.iterdir()) == []
+
+
 def test_extract_boxes_byte_parity(tmp_path):
     imgs_a = _make_box_only_dataset(tmp_path / "a")
     imgs_b = _make_box_only_dataset(tmp_path / "b")
