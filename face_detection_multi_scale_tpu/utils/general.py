@@ -22,6 +22,92 @@ def check_img_size(img_size: int, s: int = 32) -> int:
     return new_size
 
 
+def init_seeds(seed: int = 0):
+    """Seed the host RNGs and hand back a jax PRNGKey (reference
+    utils/general.py:41-45 seeds random/np/torch; functional jax
+    randomness rides the returned key instead of global state)."""
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    import jax
+
+    return jax.random.PRNGKey(seed)
+
+
+def check_file(file: str) -> str:
+    """Return the path as-is if it exists, else glob for it under the
+    cwd and require a unique match (reference utils/general.py:152-160)."""
+    import glob
+    from pathlib import Path
+
+    if Path(file).is_file() or file == "":
+        return file
+    files = glob.glob("./**/" + file, recursive=True)
+    assert len(files), f"File Not Found: {file}"
+    assert len(files) == 1, (
+        f"Multiple files match '{file}', specify exact path: {files}")
+    return files[0]
+
+
+def check_dataset(data: dict, autodownload: bool = True):
+    """Verify a dataset config's val paths exist; on a miss run the
+    config's `download` recipe (URL zip / shell / python, reference
+    utils/general.py:163-183) or raise."""
+    import os
+    from pathlib import Path
+
+    val, s = data.get("val"), data.get("download")
+    if not val or not len(val):
+        return
+    paths = [Path(x).resolve()
+             for x in (val if isinstance(val, list) else [val])]
+    missing = [str(x) for x in paths if not x.exists()]
+    if not missing:
+        return
+    print(f"WARNING: Dataset not found, nonexistent paths: {missing}")
+    if not (s and len(s) and autodownload):
+        raise FileNotFoundError("Dataset not found.")
+    if s.startswith("http") and s.endswith(".zip"):
+        import urllib.request
+        import zipfile
+
+        f = Path(s).name
+        print(f"Downloading {s} ...")
+        urllib.request.urlretrieve(s, f)
+        with zipfile.ZipFile(f) as z:
+            z.extractall("..")
+        os.remove(f)
+        r = 0
+    elif s.startswith("bash "):
+        print(f"Running {s} ...")
+        r = os.system(s)
+    else:
+        r = exec(s)
+    print("Dataset autodownload %s\n"
+          % ("success" if r in (0, None) else "failure"))
+
+
+def colorstr(*inputs) -> str:
+    """ANSI-colored string, colorstr('blue', 'bold', 'hello')
+    (reference utils/general.py:225-247)."""
+    *args, string = (inputs if len(inputs) > 1
+                     else ("blue", "bold", inputs[0]))
+    colors = {
+        "black": "\033[30m", "red": "\033[31m", "green": "\033[32m",
+        "yellow": "\033[33m", "blue": "\033[34m", "magenta": "\033[35m",
+        "cyan": "\033[36m", "white": "\033[37m",
+        "bright_black": "\033[90m", "bright_red": "\033[91m",
+        "bright_green": "\033[92m", "bright_yellow": "\033[93m",
+        "bright_blue": "\033[94m", "bright_magenta": "\033[95m",
+        "bright_cyan": "\033[96m", "bright_white": "\033[97m",
+        "end": "\033[0m", "bold": "\033[1m", "underline": "\033[4m"}
+    return ("".join(colors[x] for x in args) + f"{string}"
+            + colors["end"])
+
+
 def increment_path(path, exist_ok: bool = False, mkdir: bool = False):
     """runs/exp -> runs/exp2, runs/exp3, ... (reference
     utils/general.py:730-744). Returns the first free path; with

@@ -99,6 +99,49 @@ def test_increment_path(tmp_path):
     assert f.parent.is_dir()
 
 
+def test_colorstr_matches_reference():
+    from face_detection_multi_scale_tpu.utils.general import colorstr
+
+    general = ref("utils.general")
+    for args in (("hello",), ("red", "x"), ("green", "bold", "y")):
+        assert colorstr(*args) == general.colorstr(*args)
+
+
+def test_check_file_and_dataset(tmp_path, monkeypatch):
+    from face_detection_multi_scale_tpu.utils.general import (
+        check_dataset, check_file)
+
+    f = tmp_path / "sub" / "cfg.yaml"
+    f.parent.mkdir()
+    f.write_text("x: 1")
+    assert check_file(str(f)) == str(f)
+    monkeypatch.chdir(tmp_path)
+    assert check_file("cfg.yaml").endswith("sub/cfg.yaml")
+    with pytest.raises(AssertionError):
+        check_file("nope.yaml")
+
+    check_dataset({"val": str(tmp_path / "sub")})  # exists: no-op
+    with pytest.raises(FileNotFoundError):
+        check_dataset({"val": str(tmp_path / "missing")})
+    # a python download recipe runs
+    marker = tmp_path / "dl.txt"
+    check_dataset({"val": str(tmp_path / "missing"),
+                   "download": f"open({str(marker)!r}, 'w').write('1')"})
+    assert marker.exists()
+
+
+def test_init_seeds():
+    import random
+
+    from face_detection_multi_scale_tpu.utils.general import init_seeds
+
+    key = init_seeds(7)
+    a = (random.random(), np.random.rand())
+    init_seeds(7)
+    b = (random.random(), np.random.rand())
+    assert a == b and key is not None
+
+
 @pytest.mark.parametrize("name", ["yolov3", "yolov3-spp", "yolov3-tiny"])
 def test_legacy_hub_cfgs_parse(name):
     """The legacy hub cfgs (reference models/hub/) parse through
