@@ -97,6 +97,52 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
     return point
 
 
+def run_latency(model_name: str, img_size: int, dtype_name: str,
+                iters: int = 30, conf_thres: float = 0.25,
+                max_candidates: int = 1024) -> dict:
+    """Single-image (batch 1) end-to-end latency percentiles — the p50
+    the BASELINE tracks alongside throughput. Each call fetches the
+    scalar reduction, so the number includes dispatch + full execution."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.head import decode
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.ops import nms as NMS
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    spec = zoo.get_spec(model_name)
+    model, variables = init_model(spec, img_size=64, dtype=dtype)
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def engine(variables, x):
+        raws = model.apply(variables, x.astype(dtype) / 255.0,
+                           train=False)
+        d = NMS.non_max_suppression(
+            decode(raws, spec), conf_thres, 0.5, nc=spec.nc,
+            nkpt=spec.nkpt, max_candidates=max_candidates, max_det=300)
+        return d.boxes.sum() + d.scores.sum()
+
+    rng = np.random.default_rng(0)
+    imgs = [jax.device_put(rng.integers(
+        0, 255, (1, img_size, img_size, 3), np.uint8))
+        for _ in range(4)]
+    jax.block_until_ready(imgs)
+    float(engine(variables, imgs[0]))  # compile
+    samples = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        float(engine(variables, imgs[i % 4]))
+        samples.append(1000 * (time.perf_counter() - t0))
+    samples.sort()
+    return {"model": model_name, "img_size": img_size,
+            "dtype": dtype_name, "batch": 1,
+            "latency_ms_p50": round(samples[len(samples) // 2], 2),
+            "latency_ms_p90": round(samples[int(len(samples) * 0.9)], 2)}
+
+
 def run_sweep(smoke: bool) -> list:
     """The published operating-point table: the serving point
     (tiny-face, the latency/throughput model) and the AP-parity flagship
@@ -113,15 +159,22 @@ def run_sweep(smoke: bool) -> list:
             ("yolov7-tiny-face", 640, 128, 30, 4, "bfloat16", 0.25, 1024),
             # serving point under eval-density postprocess load
             ("yolov7-tiny-face", 640, 128, 15, 4, "bfloat16", 0.01, 4096),
-            # AP-parity flagship at the TTA base scale
-            ("yolov7-w6-face", 640, 32, 15, 4, "bfloat16", 0.25, 1024),
-            ("yolov7-w6-face", 640, 32, 10, 4, "bfloat16", 0.01, 4096),
+            # AP-parity flagship at the TTA base scale (batch 64 beats
+            # 32 by ~15% and 128 regresses; measured on this chip)
+            ("yolov7-w6-face", 640, 64, 15, 4, "bfloat16", 0.25, 1024),
+            ("yolov7-w6-face", 640, 64, 10, 4, "bfloat16", 0.01, 4096),
             # flagship at its P6-native resolution
             ("yolov7-w6-face", 1280, 8, 10, 4, "bfloat16", 0.25, 1024),
         ]
     rows = []
     for p in pts:
         rows.append(run_point(*p))
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    lat_pts = ([("yolov7-lite-t", 128, "float32", 4)] if smoke else
+               [("yolov7-tiny-face", 640, "bfloat16", 30),
+                ("yolov7-w6-face", 640, "bfloat16", 20)])
+    for lp in lat_pts:
+        rows.append(run_latency(*lp))
         print(json.dumps(rows[-1]), file=sys.stderr)
     return rows
 
@@ -156,7 +209,10 @@ def main():
     if args.sweep:
         import pathlib
         rows = run_sweep(args.smoke)
-        out = pathlib.Path(__file__).parent / "BENCH_SWEEP.json"
+        # smoke runs must not clobber the recorded real-chip sweep
+        name = "BENCH_SWEEP_SMOKE.json" if args.smoke \
+            else "BENCH_SWEEP.json"
+        out = pathlib.Path(__file__).parent / name
         out.write_text(json.dumps(rows, indent=1))
         print(json.dumps({"sweep": rows}))
         return 0
