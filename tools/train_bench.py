@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark: images/sec through the full jitted
+train step (forward + loss + backward + 3-group SGD + EMA + BN-stat
+update) on synthetic batches. Run on the real chip for the recorded
+number, or with --smoke on CPU.
+
+    python tools/train_bench.py [--model yolov7-tiny-face]
+        [--img-size 640] [--batch 64] [--iters 10] [--smoke]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov7-tiny-face")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--faces-per-image", type=int, default=8)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+    if args.smoke:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.model, args.img_size, args.batch, args.iters = \
+            "yolov7-lite-t", 128, 2, 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.train.hyp import HYP_SCRATCH_P6
+    from face_detection_multi_scale_tpu.train.targets import (
+        build_targets_batched)
+    from face_detection_multi_scale_tpu.train.trainer import (
+        TrainConfig, create_train_state, make_train_step)
+
+    spec = zoo.get_spec(args.model)
+    model, variables = init_model(spec, img_size=64)
+    cfg = TrainConfig(epochs=10, steps_per_epoch=100,
+                      batch_size=args.batch)
+    state = jax.device_put(create_train_state(variables))
+    step = make_train_step(model, cfg, HYP_SCRATCH_P6, args.img_size)
+
+    rng = np.random.default_rng(0)
+    grids = [(args.img_size // s, args.img_size // s)
+             for s in spec.strides]
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        images = r.integers(0, 255, (args.batch, args.img_size,
+                                     args.img_size, 3), np.uint8)
+        rows = []
+        for b in range(args.batch):
+            n = args.faces_per_image
+            rows.append(np.concatenate([
+                np.full((n, 1), b), np.zeros((n, 1)),
+                r.uniform(0.2, 0.8, (n, 2)), r.uniform(0.05, 0.3, (n, 2)),
+                r.uniform(0.2, 0.8, (n, 10))], axis=1))
+        labels = np.concatenate(rows).astype(np.float32)
+        targets = build_targets_batched(labels, args.batch, spec, grids,
+                                        anchor_t=4.0)
+        return (jax.device_put(images),
+                jax.tree.map(lambda x: jax.device_put(jnp.asarray(x)),
+                             targets))
+
+    batches = [make_batch(i) for i in range(3)]
+    jax.block_until_ready(batches)
+
+    state, loss, _ = step(state, *batches[0])  # compile
+    state, loss, _ = step(state, *batches[1])  # warm
+    float(loss)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        state, loss, _ = step(state, *batches[i % 3])
+    final = float(loss)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"{args.model} {args.img_size}px TRAIN images/sec/chip"
+                  f" (batch={args.batch}, fwd+bwd+SGD+EMA+BN)",
+        "value": round(args.batch * args.iters / dt, 2),
+        "unit": "images/sec/chip",
+        "loss": round(final, 4)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
