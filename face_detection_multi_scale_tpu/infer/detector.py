@@ -55,7 +55,17 @@ class FaceDetector:
                  max_candidates: int = 4096, seed: int = 0,
                  mesh=None, fuse: bool = True,
                  use_device_preprocess: bool = False):
-        spec = zoo.get_spec(model) if isinstance(model, str) else model
+        if isinstance(model, str):
+            spec = zoo.get_spec(model)  # pinned, verified strides
+        else:
+            spec = model
+            # custom specs (hub.custom / cfg yaml): derive strides by a
+            # shape-only dummy forward, as the reference Model.__init__
+            # does (models/yolo.py:345) — the parser's P3-start default
+            # is wrong for e.g. models/hub/yolov3-tiny.yaml (P4/P5)
+            from face_detection_multi_scale_tpu.models.model import (
+                compute_strides)
+            compute_strides(spec)
         self.spec = spec.resolve()
         self.model = YoloFace(spec=self.spec, dtype=dtype)
         if torch_weights is not None:

@@ -228,14 +228,21 @@ def compute_strides(spec: ModelSpec, img_size: int = 128):
     """Derive per-level strides from a dummy forward (the reference's
     stride computation, models/yolo.py:345) and write them back into the
     spec. Needed for configs whose pyramid doesn't start at P3 (e.g.
-    models/hub/yolov3-tiny.yaml is P4/P5)."""
+    models/hub/yolov3-tiny.yaml is P4/P5).
+
+    Shape-only: jax.eval_shape traces the graph abstractly, so this
+    costs no FLOPs, no compile, and no device."""
     spec.resolve()
     model = YoloFace(spec=spec)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, img_size, img_size, 3)),
-                           train=False)
-    raws = model.apply(variables, jnp.zeros((1, img_size, img_size, 3)),
-                       train=False)
+    import functools
+
+    dummy = jnp.zeros((1, img_size, img_size, 3))
+    # bind train statically — eval_shape abstracts keyword args too
+    abs_vars = jax.eval_shape(
+        functools.partial(model.init, train=False),
+        jax.random.PRNGKey(0), dummy)
+    raws = jax.eval_shape(
+        functools.partial(model.apply, train=False), abs_vars, dummy)
     spec.strides = tuple(img_size // r.shape[2] for r in raws)
     return spec.strides
 
