@@ -159,11 +159,13 @@ def run_sweep(smoke: bool) -> list:
             ("yolov7-tiny-face", 640, 128, 30, 4, "bfloat16", 0.25, 1024),
             # serving point under eval-density postprocess load
             ("yolov7-tiny-face", 640, 128, 15, 4, "bfloat16", 0.01, 4096),
-            # AP-parity flagship at the TTA base scale (batch 64 beats
-            # 32 by ~15% and 128 regresses; measured on this chip)
-            ("yolov7-w6-face", 640, 64, 15, 4, "bfloat16", 0.25, 1024),
-            ("yolov7-w6-face", 640, 64, 10, 4, "bfloat16", 0.01, 4096),
-            # flagship at its P6-native resolution
+            # AP-parity flagship at the TTA base scale. Batch scan on
+            # this chip: b32 754, b64 866, b128 1047, b256 1046 img/s —
+            # saturates at 128
+            ("yolov7-w6-face", 640, 128, 10, 3, "bfloat16", 0.25, 1024),
+            ("yolov7-w6-face", 640, 128, 8, 3, "bfloat16", 0.01, 4096),
+            # flagship at its P6-native resolution (b4 100, b8 172,
+            # b16 110, b32 119 — 8 is the sweet spot)
             ("yolov7-w6-face", 1280, 8, 10, 4, "bfloat16", 0.25, 1024),
         ]
     rows = []

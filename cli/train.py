@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--img-size", type=int, default=960)
     ap.add_argument("--kpt-label", type=int, default=5)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 = mixed-precision training (bf16 "
+                         "compute, f32 params/optimizer) — the AMP "
+                         "equivalent, reference train.py:364,425")
     ap.add_argument("--weights", default=None,
                     help="initial weights: torch .pt or inference .npz")
     ap.add_argument("--resume", nargs="?", const=True, default=False)
@@ -168,8 +173,15 @@ def train_run(args, hyp_override=None, quiet=False):
         spec.anchors = tuple(tuple(float(v) for v in a.reshape(-1))
                              for a in anchors)
 
+    # --dtype bfloat16 = mixed precision: conv/matmul COMPUTE in bf16,
+    # parameters, optimizer state, and loss reductions stay float32 (the
+    # amp.autocast equivalent, reference train.py:364,425 — no GradScaler
+    # needed: bf16 shares float32's exponent range, so no underflow)
+    import jax.numpy as jnp
+    compute_dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
+                     else jnp.float32)
     model, variables = init_model(spec, jax.random.PRNGKey(args.seed),
-                                  img_size=128)
+                                  img_size=128, dtype=compute_dtype)
     if args.weights:
         if args.weights.endswith(".npz"):
             variables = CKPT.load_inference_weights(args.weights)

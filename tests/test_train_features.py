@@ -132,3 +132,41 @@ def test_dataset_indices_indirection(tmp_path):
     ds.indices = [1, 0]
     img0_swapped, *_ = ds.get(0)
     assert img0.mean() < 100 < img0_swapped.mean()
+
+
+def test_bf16_mixed_precision_train_step():
+    """bf16-compute training (the AMP equivalent, train.py:364,425):
+    params/optimizer state stay float32, the step runs, and the loss
+    tracks the float32 step within bf16 precision."""
+    from face_detection_multi_scale_tpu.train.trainer import (
+        create_train_state, make_train_step)
+
+    spec = zoo.get_spec("yolov7-lite-t")
+    rng = np.random.default_rng(3)
+    B, S = 2, 128
+    images = rng.integers(0, 255, (B, S, S, 3), np.uint8)
+    labels = np.array([
+        [0, 0, 0.3, 0.4, 0.2, 0.25] + [0.3, 0.4] * 5,
+        [1, 0, 0.5, 0.5, 0.3, 0.3] + [0.5, 0.5] * 5,
+    ], np.float32)
+    grid_shapes = [(S // s, S // s) for s in spec.strides]
+    targets = jax.tree.map(jnp.asarray, build_targets_batched(
+        labels, B, spec, grid_shapes, cap_per_image=64))
+    cfg = TrainConfig(epochs=4, steps_per_epoch=4, batch_size=B,
+                      min_warmup_steps=2)
+
+    losses = {}
+    for dtype in (jnp.float32, jnp.bfloat16):
+        model, variables = init_model(spec, img_size=64, dtype=dtype)
+        state = create_train_state(variables)
+        step = make_train_step(model, cfg, HYP_SCRATCH_P6, S)
+        # params stay float32 regardless of compute dtype
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params))
+        state, loss, comps = step(state, jnp.asarray(images), targets)
+        assert np.isfinite(float(loss))
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params))
+        losses[dtype.__name__] = float(loss)
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=0.05)

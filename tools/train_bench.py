@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--faces-per-image", type=int, default=8)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -47,7 +49,9 @@ def main():
         TrainConfig, create_train_state, make_train_step)
 
     spec = zoo.get_spec(args.model)
-    model, variables = init_model(spec, img_size=64)
+    dtype = (jnp.bfloat16 if args.dtype == "bfloat16"
+             else jnp.float32)
+    model, variables = init_model(spec, img_size=64, dtype=dtype)
     cfg = TrainConfig(epochs=10, steps_per_epoch=100,
                       batch_size=args.batch)
     state = jax.device_put(create_train_state(variables))
@@ -88,7 +92,8 @@ def main():
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"{args.model} {args.img_size}px TRAIN images/sec/chip"
-                  f" (batch={args.batch}, fwd+bwd+SGD+EMA+BN)",
+                  f" (batch={args.batch}, {args.dtype}, "
+                  f"fwd+bwd+SGD+EMA+BN)",
         "value": round(args.batch * args.iters / dt, 2),
         "unit": "images/sec/chip",
         "loss": round(final, 4)}))
