@@ -90,6 +90,118 @@ def check_dataset(data: dict, autodownload: bool = True):
           % ("success" if r in (0, None) else "failure"))
 
 
+def get_latest_run(search_dir: str = "."):
+    """Most recent 'last*' checkpoint under search_dir, for --resume
+    (reference utils/general.py:48-51; ours saves orbax dirs named
+    'last' plus a .meta.json sidecar, so match both)."""
+    import glob
+    import os
+
+    found = (glob.glob(f"{search_dir}/**/last*.pt", recursive=True)
+             + glob.glob(f"{search_dir}/**/last.meta.json",
+                         recursive=True))
+    return max(found, key=os.path.getctime) if found else ""
+
+
+def clean_str(s: str) -> str:
+    """Replace special characters with underscores (reference
+    utils/general.py:215-217; used for stream-source names)."""
+    import re
+
+    return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_",
+                  string=s)
+
+
+def file_size(file) -> float:
+    """File size in MB (reference utils/general.py:95-97)."""
+    import os
+
+    return os.path.getsize(file) / 1e6
+
+
+def emojis(s: str = "") -> str:
+    """Platform-safe emoji string (reference utils/general.py:90-92)."""
+    import platform
+
+    return (s.encode().decode("ascii", "ignore")
+            if platform.system() == "Windows" else s)
+
+
+def clip_coords(boxes, img_shape, step: int = 2):
+    """Clip xyxy boxes (numpy, in place) to (height, width)
+    (reference utils/general.py:401-404)."""
+    boxes[:, 0::step] = boxes[:, 0::step].clip(0, img_shape[1])
+    boxes[:, 1::step] = boxes[:, 1::step].clip(0, img_shape[0])
+    return boxes
+
+
+def coco80_to_coco91_class():
+    """COCO 80-index -> paper 91-index map (reference
+    utils/general.py:277-286)."""
+    return [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18,
+            19, 20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36,
+            37, 38, 39, 40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52,
+            53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 67, 70,
+            72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87,
+            88, 89, 90]
+
+
+# --------------------------------------------------------------------------
+# segment (polygon) label utilities — unused by the face recipe but part
+# of the reference data-layer surface (utils/general.py:340-371)
+# --------------------------------------------------------------------------
+
+def xyn2xy(x, w: int = 640, h: int = 640, padw: float = 0,
+           padh: float = 0):
+    """Normalized (n, 2) segment points -> pixel points."""
+    import numpy as np
+
+    y = np.copy(x)
+    y[:, 0] = w * x[:, 0] + padw
+    y[:, 1] = h * x[:, 1] + padh
+    return y
+
+
+def segment2box(segment, width: int = 640, height: int = 640):
+    """One polygon -> its xyxy box over the inside-image points
+    (reference utils/general.py:348-353, incl. its `any(x)` quirk:
+    all-outside or x==0-only polygons yield a (1, 4) zero box)."""
+    import numpy as np
+
+    x, y = segment.T
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    return (np.array([x.min(), y.min(), x.max(), y.max()])
+            if any(x) else np.zeros((1, 4)))
+
+
+def segments2boxes(segments):
+    """Polygons -> (n, 4) xywh boxes (reference
+    utils/general.py:356-362)."""
+    import numpy as np
+
+    boxes = []
+    for s in segments:
+        x, y = s.T
+        boxes.append([x.min(), y.min(), x.max(), y.max()])
+    out = np.array(boxes, np.float64)
+    return _xyxy2xywh_np(out)
+
+
+def resample_segments(segments, n: int = 1000):
+    """Up-sample each (m, 2) polygon to n points by linear interpolation
+    (reference utils/general.py:365-371; in place on the list)."""
+    import numpy as np
+
+    for i, s in enumerate(segments):
+        x = np.linspace(0, len(s) - 1, n)
+        xp = np.arange(len(s))
+        segments[i] = np.concatenate(
+            [np.interp(x, xp, s[:, j]) for j in range(2)]
+        ).reshape(2, -1).T
+    return segments
+
+
 def colorstr(*inputs) -> str:
     """ANSI-colored string, colorstr('blue', 'bold', 'hello')
     (reference utils/general.py:225-247)."""

@@ -152,3 +152,53 @@ def test_legacy_hub_cfgs_parse(name):
     s = load_spec(f"/root/reference/models/hub/{name}.yaml")
     assert s.nc == 80 and s.nodes[-1].op == "Detect"
     assert len(s.nodes) > 10
+
+
+def test_segment_utils_match_reference():
+    from face_detection_multi_scale_tpu.utils.general import (
+        clip_coords, resample_segments, segment2box, segments2boxes,
+        xyn2xy)
+
+    general = ref("utils.general")
+    rng = np.random.default_rng(6)
+    seg = rng.uniform(0, 1, (12, 2))
+    np.testing.assert_allclose(xyn2xy(seg, 200, 100, 3, 5),
+                               general.xyn2xy(seg, 200, 100, 3, 5))
+    px = rng.uniform(-50, 700, (15, 2))
+    np.testing.assert_allclose(segment2box(px.copy(), 640, 640),
+                               general.segment2box(px.copy(), 640, 640))
+    all_out = np.full((4, 2), -10.0)
+    np.testing.assert_allclose(segment2box(all_out, 64, 64),
+                               general.segment2box(all_out, 64, 64))
+    segs = [rng.uniform(0, 640, (k, 2)) for k in (5, 9)]
+    np.testing.assert_allclose(
+        segments2boxes([s.copy() for s in segs]),
+        general.segments2boxes([s.copy() for s in segs]))
+    ours_rs = resample_segments([s.copy() for s in segs], n=50)
+    theirs_rs = general.resample_segments([s.copy() for s in segs], n=50)
+    for a, b in zip(ours_rs, theirs_rs):
+        np.testing.assert_allclose(a, b)
+    boxes = rng.uniform(-30, 700, (6, 4))
+    want = boxes.copy()
+    import torch
+    tb = torch.from_numpy(boxes.copy())
+    general.clip_coords(tb, (480, 640))
+    np.testing.assert_allclose(clip_coords(want, (480, 640)), tb.numpy())
+
+
+def test_misc_small_utils(tmp_path):
+    from face_detection_multi_scale_tpu.utils.general import (
+        clean_str, coco80_to_coco91_class, file_size, get_latest_run)
+
+    general = ref("utils.general")
+    s = "rtsp://u:p@host/stream?x=1|y"
+    assert clean_str(s) == general.clean_str(s)
+    assert coco80_to_coco91_class() == general.coco80_to_coco91_class()
+    f = tmp_path / "x.bin"
+    f.write_bytes(b"0" * 2_000_000)
+    assert abs(file_size(f) - 2.0) < 1e-6
+    assert get_latest_run(str(tmp_path)) == ""
+    run = tmp_path / "runs" / "exp" / "weights"
+    run.mkdir(parents=True)
+    (run / "last.meta.json").write_text("{}")
+    assert get_latest_run(str(tmp_path)).endswith("last.meta.json")
