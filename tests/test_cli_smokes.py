@@ -1,0 +1,67 @@
+"""CLI smokes for the remaining entry points: export, resize-method
+comparison, and WIDER annotation visualizer — each driven end-to-end on
+synthetic inputs to prove the argparse surface and output files."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "cli"))
+
+
+def test_export_cli_stablehlo(tmp_path, capsys, monkeypatch):
+    import export as export_cli
+
+    out = tmp_path / "m.stablehlo"
+    rc = export_cli.main(["--model", "yolov7-lite-t", "--img-size",
+                          "128", "--output", str(out)])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 100_000
+    assert Path(str(out) + ".json").exists()  # contract sidecar
+
+
+def test_compare_resize_methods_cli(tmp_path):
+    import cv2
+
+    import compare_resize_methods as crm
+
+    img = tmp_path / "in.jpg"
+    cv2.imwrite(str(img), np.random.default_rng(0).integers(
+        0, 255, (100, 160, 3), np.uint8))
+    out = tmp_path / "cmp.png"
+    rc = crm.main(["--image", str(img), "--model", "yolov7-lite-t",
+                   "--img-size", "128", "--conf-thres", "0.001",
+                   "--out", str(out)])
+    assert rc == 0 and out.exists()
+
+
+@pytest.fixture()
+def annot(tmp_path):
+    import cv2
+
+    images = tmp_path / "images"
+    d = images / "0--Ev"
+    d.mkdir(parents=True)
+    cv2.imwrite(str(d / "a.jpg"), np.zeros((100, 120, 3), np.uint8))
+    # 10-field rows: x y w h blur expr illum invalid occl pose
+    (tmp_path / "gt.txt").write_text(
+        "0--Ev/a.jpg\n2\n10 10 30 30 0 0 0 0 0 0\n"
+        "50 20 20 25 1 0 0 0 1 0\n")
+    return tmp_path
+
+
+def test_visualize_widerface_cli(annot, tmp_path, capsys):
+    import visualize_widerface as vw
+
+    rc = vw.main(["stats", "--annot", str(annot / "gt.txt")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2" in out  # two faces counted
+
+    png = tmp_path / "vis.png"
+    rc = vw.main(["show", "--annot", str(annot / "gt.txt"),
+                  "--images", str(annot / "images"),
+                  "--image", "0--Ev/a.jpg", "--out", str(png)])
+    assert rc == 0 and png.exists()
