@@ -236,7 +236,17 @@ def train_run(args, hyp_override=None, quiet=False):
         print(f"accumulating gradients over {accumulate} micro-batches")
     else:
         step_fn = make_train_step(model, cfg, hyp, args.img_size)
-    mesh = make_data_mesh()
+    # the data axis must divide the per-step batch (DDP requires the
+    # same, reference train.py:627); use the largest device count that
+    # does so small-batch runs still work on many-device hosts
+    devices = jax.devices()
+    n_use = len(devices)
+    while args.batch_size % n_use:
+        n_use -= 1
+    if n_use < len(devices):
+        print(f"batch {args.batch_size} not divisible by "
+              f"{len(devices)} devices; using {n_use}")
+    mesh = make_data_mesh(devices[:n_use])
 
     results_path = save_dir / "results.txt"
     grads_acc = None

@@ -65,3 +65,32 @@ def test_visualize_widerface_cli(annot, tmp_path, capsys):
                   "--images", str(annot / "images"),
                   "--image", "0--Ev/a.jpg", "--out", str(png)])
     assert rc == 0 and png.exists()
+
+
+@pytest.mark.slow
+def test_train_evolve_mode(tmp_path):
+    """cli/train.py --evolve: two generations of short runs feed the
+    mutation ledger (reference train.py:674-754)."""
+    import cv2
+    import yaml
+
+    import train as train_cli
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_dataset import make_fake_widerface
+
+    imgs = make_fake_widerface(tmp_path / "wf", n_images=4, seed=2)
+    dy = tmp_path / "d.yaml"
+    dy.write_text(yaml.dump({"train": imgs, "val": imgs, "nc": 1,
+                             "names": ["face"]}))
+    rc = train_cli.main([
+        "--model", "yolov7-lite-t", "--data", str(dy),
+        "--img-size", "128", "--batch-size", "2", "--epochs", "1",
+        "--project", str(tmp_path / "runs"), "--name", "evo",
+        "--exist-ok", "--no-tensorboard", "--noautoanchor",
+        "--workers", "1", "--evolve", "2"])
+    assert rc == 0
+    ledger = tmp_path / "runs" / "evolve.txt"
+    assert (tmp_path / "runs" / "hyp_evolved.json").exists()
+    lines = [l for l in ledger.read_text().splitlines() if l.strip()]
+    assert len(lines) == 2
