@@ -8,11 +8,11 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "cli"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def test_export_cli_stablehlo(tmp_path, capsys, monkeypatch):
-    import export as export_cli
+    import cli.export as export_cli
 
     out = tmp_path / "m.stablehlo"
     rc = export_cli.main(["--model", "yolov7-lite-t", "--img-size",
@@ -25,7 +25,7 @@ def test_export_cli_stablehlo(tmp_path, capsys, monkeypatch):
 def test_compare_resize_methods_cli(tmp_path):
     import cv2
 
-    import compare_resize_methods as crm
+    import cli.compare_resize_methods as crm
 
     img = tmp_path / "in.jpg"
     cv2.imwrite(str(img), np.random.default_rng(0).integers(
@@ -53,7 +53,7 @@ def annot(tmp_path):
 
 
 def test_visualize_widerface_cli(annot, tmp_path, capsys):
-    import visualize_widerface as vw
+    import cli.visualize_widerface as vw
 
     rc = vw.main(["stats", "--annot", str(annot / "gt.txt")])
     assert rc == 0
@@ -74,7 +74,7 @@ def test_train_evolve_mode(tmp_path):
     import cv2
     import yaml
 
-    import train as train_cli
+    import cli.train as train_cli
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from test_dataset import make_fake_widerface

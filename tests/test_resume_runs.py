@@ -6,9 +6,9 @@ import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "cli"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import resume_runs  # noqa: E402
+import cli.resume_runs as resume_runs  # noqa: E402
 
 
 def _make_run(root, name, done_epoch, want_epochs, with_opt=True):

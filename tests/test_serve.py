@@ -12,9 +12,12 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "cli"))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import serve as serve_mod  # noqa: E402
+# package-style import: the bare name would collide with the reference
+# repo's top-level modules once tests/oracle.py puts /root/reference on
+# sys.path
+import cli.serve as serve_mod  # noqa: E402
 
 from face_detection_multi_scale_tpu.infer.detector import FaceDetector
 
