@@ -53,3 +53,46 @@ def test_stablehlo_raw_heads(tmp_path):
     outs = fn(x)
     assert len(outs) == spec.nl
     assert outs[0].shape == (1, 3, 8, 8, 21)
+
+
+def test_savedmodel_roundtrip(tmp_path):
+    """jax2tf SavedModel export: reload through TensorFlow serving's
+    entry point and match the jax engine's detections."""
+    import tensorflow as tf
+
+    from face_detection_multi_scale_tpu.export_model import (
+        export_savedmodel)
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.head import decode
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.ops import nms as NMS
+
+    spec = zoo.get_spec("yolov7-lite-t")
+    model, variables = init_model(spec, img_size=64)
+    path = str(tmp_path / "sm")
+    export_savedmodel(model, variables, spec, path, img_size=128,
+                      batch=2, conf_thres=0.001, max_det=20)
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (2, 128, 128, 3), np.uint8)
+
+    loaded = tf.saved_model.load(path)
+    out = loaded.signatures["serving_default"](tf.constant(x))
+    got = [np.asarray(v) for v in out.values()]
+
+    import jax.numpy as jnp
+
+    raws = model.apply(variables, jnp.asarray(x, jnp.float32) / 255.0,
+                       train=False)
+    d = NMS.non_max_suppression(decode(raws, spec), 0.001, 0.45,
+                                nc=spec.nc, nkpt=spec.nkpt,
+                                max_candidates=2048, max_det=20)
+    want = [np.asarray(v) for v in
+            (d.boxes, d.scores, d.classes, d.extras, d.valid)]
+    assert len(got) == len(want)
+    # signature outputs are name-ordered; match by shape
+    by_shape_got = sorted(got, key=lambda a: (a.ndim, a.shape, str(a.dtype)))
+    by_shape_want = sorted(want, key=lambda a: (a.ndim, a.shape, str(a.dtype)))
+    for g, w in zip(by_shape_got, by_shape_want):
+        np.testing.assert_allclose(np.asarray(g, np.float64),
+                                   np.asarray(w, np.float64), atol=1e-3)
