@@ -90,6 +90,11 @@ def write_gt_mats(val_images_dir: str, val_labels_dir: str, gt_dir: str):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None,
+                    choices=[None, "cpu", "tpu"],
+                    help="force the jax platform (the JAX_PLATFORMS env "
+                         "var is ignored on this machine's sitecustomize;"
+                         " only the config update works)")
     ap.add_argument("--root", default="/tmp/syn_e2e")
     ap.add_argument("--model", default="yolov7-lite-t")
     ap.add_argument("--n-images", type=int, default=256)
@@ -99,6 +104,11 @@ def main(argv=None):
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse existing weights in <root>/runs")
     args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from face_detection_multi_scale_tpu.data.synthetic import (
         make_synthetic_face_dataset)
