@@ -19,7 +19,7 @@ reference's sequential semantics because recall marking is order-dependent.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

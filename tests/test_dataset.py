@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from face_detection_multi_scale_tpu.data.dataset import (
-    DataLoader, FaceDataset, collate, load_label_file)
+    DataLoader, FaceDataset)
 from face_detection_multi_scale_tpu.train.hyp import HYP_SCRATCH_P5
 
 from oracle import import_reference

@@ -17,7 +17,6 @@ them there. Direct oracling is therefore impossible; instead we prove
 """
 
 import numpy as np
-import pytest
 import yaml
 
 import jax

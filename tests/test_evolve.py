@@ -4,7 +4,6 @@ persistence, fitness-weighted parent selection, end-to-end loop with a
 stubbed trainer."""
 
 import numpy as np
-import pytest
 
 from face_detection_multi_scale_tpu.train.evolve import (
     META, append_ledger, evolve, mutate, read_ledger)

@@ -2,7 +2,6 @@
 and match the live pipeline's outputs."""
 
 import numpy as np
-import pytest
 
 from face_detection_multi_scale_tpu import export_model as EM
 from face_detection_multi_scale_tpu.models import zoo
@@ -78,7 +77,8 @@ def test_savedmodel_roundtrip(tmp_path):
 
     loaded = tf.saved_model.load(path)
     out = loaded.signatures["serving_default"](tf.constant(x))
-    got = [np.asarray(v) for v in out.values()]
+    # jax2tf names flat outputs output_0..output_N in function order
+    got = [np.asarray(out[f"output_{i}"]) for i in range(len(out))]
 
     import jax.numpy as jnp
 
@@ -90,9 +90,8 @@ def test_savedmodel_roundtrip(tmp_path):
     want = [np.asarray(v) for v in
             (d.boxes, d.scores, d.classes, d.extras, d.valid)]
     assert len(got) == len(want)
-    # signature outputs are name-ordered; match by shape
-    by_shape_got = sorted(got, key=lambda a: (a.ndim, a.shape, str(a.dtype)))
-    by_shape_want = sorted(want, key=lambda a: (a.ndim, a.shape, str(a.dtype)))
-    for g, w in zip(by_shape_got, by_shape_want):
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g.shape == w.shape, (i, g.shape, w.shape)
         np.testing.assert_allclose(np.asarray(g, np.float64),
-                                   np.asarray(w, np.float64), atol=1e-3)
+                                   np.asarray(w, np.float64), atol=1e-3,
+                                   err_msg=f"output_{i}")

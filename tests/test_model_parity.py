@@ -6,7 +6,7 @@ import pytest
 
 from face_detection_multi_scale_tpu.models.convert import (
     assert_tree_shapes_match, convert_state_dict)
-from face_detection_multi_scale_tpu.models.model import YoloFace, init_model
+from face_detection_multi_scale_tpu.models.model import init_model
 from face_detection_multi_scale_tpu.models.head import decode
 from face_detection_multi_scale_tpu.models.spec import load_spec
 

@@ -115,8 +115,6 @@ def test_rect_label_geometry_round_trip(fake_data):
 def test_validate_runs_rect_batches(fake_data):
     """validate() consumes a rect dataset: one executable per distinct
     batch shape, non-square inputs, finishes with sane outputs."""
-    import jax.numpy as jnp
-
     from face_detection_multi_scale_tpu.infer.validate import validate
     from face_detection_multi_scale_tpu.models import zoo
     from face_detection_multi_scale_tpu.models.model import init_model

@@ -1,7 +1,6 @@
 """Stream readers and checkpoint round-trips."""
 
 import numpy as np
-import pytest
 
 from face_detection_multi_scale_tpu.data.streams import LoadImages
 

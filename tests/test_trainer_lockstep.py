@@ -6,7 +6,6 @@ trainer.py, asserting per-step losses and the resulting parameters track
 each other. This converts 'training probably matches' into evidence."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
