@@ -52,6 +52,15 @@ def main(argv=None):
     ap.add_argument("--resume", nargs="?", const=True, default=False)
     ap.add_argument("--noautoanchor", action="store_true")
     ap.add_argument("--noval", action="store_true")
+    ap.add_argument("--nosave", action="store_true",
+                    help="skip checkpoint writing (train.py:594)")
+    ap.add_argument("--adam", action="store_true",
+                    help="Adam optimizer, betas=(momentum, 0.999) "
+                         "(train.py:182-185)")
+    ap.add_argument("--single-cls", action="store_true",
+                    help="treat every label as class 0 (train.py:597)")
+    ap.add_argument("--label-smoothing", type=float, default=0.0,
+                    help="BCE label smoothing eps (train.py:358)")
     ap.add_argument("--linear-lr", action="store_true")
     ap.add_argument("--cache-images", action="store_true")
     ap.add_argument("--workers", type=int, default=8,
@@ -122,6 +131,8 @@ def train_run(args, hyp_override=None, quiet=False):
     ckpt_dir.mkdir(parents=True, exist_ok=True)
 
     hyp = dict(hyp_override) if hyp_override else get_hyp(args.hyp)
+    if args.label_smoothing:
+        hyp["label_smoothing"] = args.label_smoothing
     data = load_data_config(args.data)
     nc = int(data.get("nc", 1))
 
@@ -150,13 +161,15 @@ def train_run(args, hyp_override=None, quiet=False):
                            augment=True, hyp=hyp,
                            kpt_label=args.kpt_label,
                            stride=spec.max_stride,
-                           cache_images=args.cache_images)
+                           cache_images=args.cache_images,
+                           single_cls=args.single_cls)
     val_ds = None
     if not args.noval and data.get("val"):
         val_ds = FaceDataset(data["val"], img_size=args.img_size,
                              augment=False, hyp=hyp,
                              kpt_label=args.kpt_label,
-                             stride=spec.max_stride)
+                             stride=spec.max_stride,
+                             single_cls=args.single_cls)
 
     if is_main_process():
         try:
@@ -209,7 +222,8 @@ def train_run(args, hyp_override=None, quiet=False):
         warmup_momentum=hyp["warmup_momentum"],
         warmup_bias_lr=hyp["warmup_bias_lr"],
         batch_size=args.batch_size, linear_lr=args.linear_lr,
-        freeze_until=args.freeze_until)
+        freeze_until=args.freeze_until,
+        optimizer="adam" if args.adam else "sgd")
     if args.freeze_until is not None:
         from face_detection_multi_scale_tpu.train.trainer import (
             freeze_summary)
@@ -221,7 +235,8 @@ def train_run(args, hyp_override=None, quiet=False):
               f"{ntrn:,} params "
               f"({ntrn / max(total, 1) * 100:.2f}% trainable)")
 
-    state = create_train_state(variables)
+    state = create_train_state(
+        variables, optimizer="adam" if args.adam else "sgd")
     start_epoch = 0
     best_fitness = -1.0
     if args.resume:
@@ -407,11 +422,15 @@ train_plots import plot_images
                 meta = {"epoch": epoch, "best_fitness": best_fitness,
                         "fitness": fit, "results": results,
                         "wandb_id": logger.run_id}
-                CKPT.save_checkpoint(str(ckpt_dir), "last", state, meta)
+                if not args.nosave:  # train.py:594 final-epoch-only
+                    CKPT.save_checkpoint(str(ckpt_dir), "last", state,
+                                         meta)
                 if fit > best_fitness:
                     best_fitness = fit
                     meta["best_fitness"] = best_fitness
-                    CKPT.save_checkpoint(str(ckpt_dir), "best", state, meta)
+                    if not args.nosave:
+                        CKPT.save_checkpoint(str(ckpt_dir), "best",
+                                             state, meta)
                 print(f"epoch {epoch} done in {dt:.1f}s "
                       f"loss {c[5]:.4f} fitness {fit:.4f}")
 

@@ -104,7 +104,8 @@ class FaceDataset:
                  hyp: Optional[Dict] = None, kpt_label: int = 5,
                  stride: int = 32, cache_images: bool = False,
                  prefix: str = "", rect: bool = False,
-                 batch_size: int = 16, pad: float = 0.0):
+                 batch_size: int = 16, pad: float = 0.0,
+                 single_cls: bool = False):
         self.img_size = img_size
         self.augment = augment
         self.hyp = hyp or {}
@@ -166,6 +167,11 @@ class FaceDataset:
                 except OSError:
                     pass
         self.labels, self.shapes = cache  # shapes: (n, 2) as (w, h)
+        if single_cls:  # force one class (utils/datasets.py:419-421)
+            self.labels = [l.copy() for l in self.labels]
+            for l in self.labels:
+                if len(l):
+                    l[:, 0] = 0
         self.n = len(self.img_files)
         self.indices = list(range(self.n))
 

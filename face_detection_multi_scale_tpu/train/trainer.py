@@ -105,9 +105,11 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     batch_stats: Any
-    momentum_buf: Any
+    momentum_buf: Any  # SGD momentum / Adam first moment
     ema_params: Any
     ema_updates: jnp.ndarray
+    # Adam second moment; None for SGD (no memory cost)
+    second_moment: Any = None
 
 
 @dataclasses.dataclass
@@ -131,6 +133,9 @@ class TrainConfig:
     # freeze graph nodes 0..freeze_until (reference --freeze-until,
     # train.py:101-146); None trains all layers
     freeze_until: Any = None
+    # "sgd" (nesterov, the default) or "adam" (reference --adam,
+    # train.py:182-185)
+    optimizer: str = "sgd"
 
     @property
     def warmup_steps(self) -> int:
@@ -161,7 +166,7 @@ class TrainConfig:
         return jnp.where(step < nw, warm, self.momentum)
 
 
-def create_train_state(variables) -> TrainState:
+def create_train_state(variables, optimizer: str = "sgd") -> TrainState:
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     zeros = jax.tree.map(jnp.zeros_like, params)
@@ -172,6 +177,8 @@ def create_train_state(variables) -> TrainState:
         momentum_buf=zeros,
         ema_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         ema_updates=jnp.zeros((), jnp.int32),
+        second_moment=(jax.tree.map(jnp.zeros_like, params)
+                       if optimizer == "adam" else None),
     )
 
 
@@ -220,6 +227,62 @@ def sgd_apply(cfg: TrainConfig, params, grads, bufs, step):
             jax.tree_util.tree_unflatten(treedef, new_b))
 
 
+def adam_apply(cfg: TrainConfig, params, grads, m, v, sched_step,
+               apply_step):
+    """torch.optim.Adam semantics with betas=(momentum, 0.999), eps 1e-8,
+    coupled L2 on kernels (the reference --adam path, train.py:183-189).
+    The warmup lr interp is evaluated at `sched_step` (the global
+    micro-iteration, like SGD); the bias correction counts optimizer
+    APPLIES (`apply_step`, torch's per-param step counter). beta1 is NOT
+    warmed — the reference warmup writes g['momentum'] only when the
+    group has one (train.py:412-414), and Adam groups don't."""
+    groups = _group_tree(params)
+    frozen = freeze_tree(params, cfg.freeze_until)
+    b1, b2, eps = cfg.momentum, 0.999, 1e-8
+    lr_k = cfg.lr_at(sched_step, "kernel")
+    lr_b = cfg.lr_at(sched_step, "bias")
+    lr_o = cfg.lr_at(sched_step, "other")
+    t = (apply_step + 1).astype(jnp.float32)
+    bc1 = 1.0 - b1 ** t
+    bc2 = 1.0 - b2 ** t
+
+    def upd(p, g, m_i, v_i, grp, frz):
+        if frz:
+            return p, m_i, v_i
+        g = g.astype(jnp.float32)
+        if grp == "kernel":
+            g = g + cfg.weight_decay * p
+        new_m = b1 * m_i + (1.0 - b1) * g
+        new_v = b2 * v_i + (1.0 - b2) * g * g
+        lr = {"kernel": lr_k, "bias": lr_b, "other": lr_o}[grp]
+        denom = jnp.sqrt(new_v / bc2) + eps
+        return p - lr * (new_m / bc1) / denom, new_m, new_v
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat = [treedef.flatten_up_to(t_) for t_ in
+            (grads, m, v, groups, frozen)]
+    new_p, new_m, new_v = [], [], []
+    for p, g, m_i, v_i, grp, frz in zip(flat_p, *flat):
+        a, b, c = upd(p, g, m_i, v_i, grp, frz)
+        new_p.append(a)
+        new_m.append(b)
+        new_v.append(c)
+    unf = jax.tree_util.tree_unflatten
+    return unf(treedef, new_p), unf(treedef, new_m), unf(treedef, new_v)
+
+
+def optimizer_apply(cfg: TrainConfig, state: TrainState, grads,
+                    sched_step):
+    """Dispatch SGD / Adam; returns (params, momentum_buf,
+    second_moment)."""
+    if cfg.optimizer == "adam":
+        return adam_apply(cfg, state.params, grads, state.momentum_buf,
+                          state.second_moment, sched_step, state.step)
+    p, bufs = sgd_apply(cfg, state.params, grads, state.momentum_buf,
+                        sched_step)
+    return p, bufs, state.second_moment
+
+
 def ema_update(cfg: TrainConfig, ema_params, params, updates):
     """ModelEMA ramped decay (utils/torch_utils.py:269-303)."""
     d = cfg.ema_decay * (1 - jnp.exp(-updates.astype(jnp.float32) / 2000.0))
@@ -259,13 +322,13 @@ def make_train_step(model: YoloFace, cfg: TrainConfig, hyp: Dict[str, float],
 def _optimize(state: TrainState, loss_fn, cfg: TrainConfig):
     (loss, (components, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
-    new_params, new_bufs = sgd_apply(cfg, state.params, grads,
-                                     state.momentum_buf, state.step)
+    new_params, new_bufs, new_v = optimizer_apply(cfg, state, grads,
+                                                  state.step)
     ema_updates = state.ema_updates + 1
     new_ema = ema_update(cfg, state.ema_params, new_params, ema_updates)
     new_state = state.replace(
         step=state.step + 1, params=new_params, batch_stats=new_stats,
-        momentum_buf=new_bufs, ema_params=new_ema,
+        momentum_buf=new_bufs, second_moment=new_v, ema_params=new_ema,
         ema_updates=ema_updates)
     return new_state, loss, components
 
@@ -306,15 +369,15 @@ def make_accum_steps(model: YoloFace, cfg: TrainConfig,
         # counted in micro-batches (train.py:398,406-414), not optimizer
         # applies, so with accumulation the schedule must not be driven
         # off state.step (which advances once per apply).
-        new_params, new_bufs = sgd_apply(cfg, state.params, grads,
-                                         state.momentum_buf, sched_step)
+        new_params, new_bufs, new_v = optimizer_apply(cfg, state, grads,
+                                                      sched_step)
         ema_updates = state.ema_updates + 1
         new_ema = ema_update(cfg, state.ema_params, new_params,
                              ema_updates)
         return state.replace(
             step=state.step + 1, params=new_params,
-            momentum_buf=new_bufs, ema_params=new_ema,
-            ema_updates=ema_updates)
+            momentum_buf=new_bufs, second_moment=new_v,
+            ema_params=new_ema, ema_updates=ema_updates)
 
     return (jax.jit(grad_fn, donate_argnums=(3,)),
             jax.jit(apply_fn, donate_argnums=(0,)))
