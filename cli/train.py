@@ -437,6 +437,15 @@ train_plots import plot_images
         # finalize: strip to EMA inference weights
         # (strip_optimizer equivalent)
         if is_main_process():
+            # results.png from the metrics JSONL (plot_results,
+            # train.py:540-544)
+            try:
+                from face_detection_multi_scale_tpu.utils.train_plots \
+                    import plot_results
+                plot_results(str(save_dir / "metrics.jsonl"),
+                             str(save_dir / "results.png"))
+            except Exception as e:
+                print(f"plot_results skipped: {e}")
             final_path = ckpt_dir / "best_inference.npz"
             CKPT.save_inference_weights(
                 str(final_path), CKPT.strip_to_inference(state))
@@ -478,6 +487,13 @@ def run_evolve(args):
     out = Path(args.project) / "hyp_evolved.json"
     with open(out, "w") as f:
         json.dump(best, f, indent=2)
+    # evolution scatter (plot_evolution, utils/plots.py role)
+    try:
+        from face_detection_multi_scale_tpu.utils.train_plots import (
+            plot_evolution)
+        plot_evolution(ledger, str(Path(args.project) / "evolve.png"))
+    except Exception as e:
+        print(f"plot_evolution skipped: {e}")
     print(f"evolution complete; best hyp -> {out}")
     return 0
 
