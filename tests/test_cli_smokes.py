@@ -94,3 +94,23 @@ def test_train_evolve_mode(tmp_path):
     assert (tmp_path / "runs" / "hyp_evolved.json").exists()
     lines = [l for l in ledger.read_text().splitlines() if l.strip()]
     assert len(lines) == 2
+
+
+def test_visualize_widerface_to_labels(annot, tmp_path):
+    """to-labels: normalized [cls cx cy w h] + nkpt zero landmarks with
+    the occlusion=2 sentinel columns (the data/test.py conversion)."""
+    import cli.visualize_widerface as vw
+
+    out = tmp_path / "labels"
+    rc = vw.main(["to-labels", "--annot", str(annot / "gt.txt"),
+                  "--images", str(annot / "images"),
+                  "--out", str(out)])
+    assert rc == 0
+    txt = (out / "0--Ev" / "a.txt").read_text().strip().splitlines()
+    assert len(txt) == 2
+    row = [float(v) for v in txt[0].split()]
+    # cls 0, normalized box, 5 landmark triplets with sentinel 2.0
+    assert row[0] == 0 and len(row) == 5 + 15
+    assert abs(row[1] - (10 + 30 / 2) / 120) < 1e-6
+    assert abs(row[2] - (10 + 30 / 2) / 100) < 1e-6
+    assert row[5::3] == [0.0] * 5 and row[7::3] == [2.0] * 5
