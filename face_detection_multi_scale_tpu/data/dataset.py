@@ -760,6 +760,12 @@ class DataLoader:
                  num_hosts: int = 1, host_id: int = 0,
                  drop_last: bool = True, prefetch: int = 2,
                  workers: int = 4):
+        if getattr(dataset, "rect", False):
+            # rect batch shapes are computed for sequential whole-dataset
+            # iteration (batch i = indices [i*bs, (i+1)*bs)); shuffling
+            # or host-sharding would mix shapes inside one stacked batch
+            assert not shuffle and num_hosts == 1, (
+                "rect datasets require shuffle=False, num_hosts=1")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
