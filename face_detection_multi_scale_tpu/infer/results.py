@@ -63,8 +63,11 @@ class Detections:
                 for row in pred:
                     box, conf, cls = row[:4], row[4], int(row[5])
                     if crop:
+                        # im is RGB; save_one_box's default BGR=False
+                        # performs the cv2 channel swap itself
+                        # (models/common.py:673 passes RGB too)
                         save_one_box(
-                            box, im[:, :, ::-1],  # RGB -> BGR for cv2
+                            box, im,
                             file=Path(save_dir) / "crops"
                             / self.names[cls] / self.files[i])
                     else:

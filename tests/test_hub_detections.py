@@ -70,6 +70,24 @@ def test_detections_save_crop_render(tmp_path, capsys):
     cout = d.crop(save_dir=tmp_path / "cr")
     crops = list((cout / "crops" / "face").iterdir())
     assert len(crops) == sum(len(p) for p in preds)
+    # channel correctness: a crop read back with cv2 (BGR) matches the
+    # RGB source region flipped — not double-flipped
+    import cv2
+
+    x1, y1, x2, y2 = preds[-1][-1][:4]
+    from face_detection_multi_scale_tpu.utils.general import (
+        _xywh2xyxy_np, _xyxy2xywh_np)
+    b = _xyxy2xywh_np(np.array([[x1, y1, x2, y2]]))
+    b[:, 2:] = b[:, 2:] * 1.02 + 10
+    bb = _xywh2xyxy_np(b).astype(int)[0]
+    h, w = imgs[-1].shape[:2]
+    bb[[0, 2]] = bb[[0, 2]].clip(0, w)
+    bb[[1, 3]] = bb[[1, 3]].clip(0, h)
+    want_bgr = imgs[-1][bb[1]:bb[3], bb[0]:bb[2]][:, :, ::-1]
+    got = cv2.imread(str(sorted(crops)[-1]))
+    assert got.shape == want_bgr.shape
+    # jpeg-lossy: compare channel means
+    assert np.abs(got.mean(axis=(0, 1)) - want_bgr.mean(axis=(0, 1))).max() < 3
     rendered = d.render()
     assert rendered[0].shape == imgs[0].shape
     d.print()
