@@ -207,6 +207,11 @@ def main():
     if args.smoke:
         args.model, args.img_size, args.batch = "yolov7-lite-t", 128, 2
         args.iters, args.pool, args.dtype = 2, 2, "float32"
+        # actually run on CPU: the JAX_PLATFORMS env var is ignored on
+        # this machine's sitecustomize; only the config update works
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.sweep:
         import pathlib
