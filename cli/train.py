@@ -401,12 +401,7 @@ train_plots import plot_images
                     fit = fitness(results["mp"], results["mr"],
                                   results["map50"], results["map"])
                     # feeds next epoch's image-weights resample (the
-                    # reference's `maps`, train.py:377,489). NOTE: only
-                    # the main process validates; in a true multi-host
-                    # run the epoch-seeded RNG keeps index draws aligned
-                    # only while every host sees the same maps, so
-                    # multi-host + --image-weights would need a maps
-                    # broadcast (single-host covers all current targets).
+                    # reference's `maps`, train.py:377,489)
                     maps[:] = results["map"]
                 if results:
                     logger.log((epoch + 1) * steps_per_epoch, {
@@ -433,6 +428,16 @@ train_plots import plot_images
                                              state, meta)
                 print(f"epoch {epoch} done in {dt:.1f}s "
                       f"loss {c[5]:.4f} fitness {fit:.4f}")
+
+            if args.image_weights and jax.process_count() > 1:
+                # only the main process validated; sync maps so every
+                # host's epoch-seeded resample draws identical indices
+                # next epoch (the dist.broadcast of train.py:380-385)
+                from jax.experimental import multihost_utils
+
+                maps[:] = np.asarray(
+                    multihost_utils.broadcast_one_to_all(
+                        jnp.asarray(maps)))
 
         # finalize: strip to EMA inference weights
         # (strip_optimizer equivalent)
