@@ -121,7 +121,34 @@ def main(argv=None):
     print(f"dataset at {root}")
 
     weights = root / "runs" / "exp" / "weights" / "best_inference.npz"
-    if not args.skip_train or not weights.exists():
+    if args.skip_train and not weights.exists():
+        # a training run that died before finalize leaves orbax last/best
+        # but no stripped npz; recover it instead of silently RETRAINING
+        # from scratch (which would clobber the good checkpoint)
+        ckpt = root / "runs" / "exp" / "weights" / "best"
+        if not ckpt.exists():
+            ckpt = root / "runs" / "exp" / "weights" / "last"
+        if ckpt.exists():
+            print(f"stripping {ckpt} -> {weights}")
+            from face_detection_multi_scale_tpu.models import zoo
+            from face_detection_multi_scale_tpu.models.model import (
+                init_model)
+            from face_detection_multi_scale_tpu.train import (
+                checkpoint as CKPT)
+            from face_detection_multi_scale_tpu.train.trainer import (
+                create_train_state)
+
+            spec = zoo.get_spec(args.model)
+            _, variables = init_model(spec, img_size=64)
+            template = create_train_state(variables)
+            state, _ = CKPT.load_checkpoint(str(ckpt.parent), ckpt.name,
+                                            template)
+            CKPT.save_inference_weights(
+                str(weights), CKPT.strip_to_inference(state))
+        else:
+            raise SystemExit(
+                f"--skip-train but no weights under {ckpt.parent}")
+    if not args.skip_train:
         from cli.train import main as train_main
 
         train_main([
