@@ -23,6 +23,14 @@ IMG_EXT = {".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp"}
 VID_EXT = {".mov", ".avi", ".mp4", ".mpg", ".mpeg", ".m4v", ".wmv", ".mkv"}
 
 
+def is_stream_source(source: str) -> bool:
+    """Webcam index / RTSP / RTMP / HTTP stream / .txt list of streams —
+    the reference detect.py:56-61 routing to LoadStreams."""
+    return (source.isnumeric() or source.endswith(".txt")
+            or source.lower().startswith(("rtsp://", "rtmp://",
+                                          "http://", "https://")))
+
+
 def list_sources(source: str):
     p = Path(source)
     if p.is_dir():
@@ -68,6 +76,9 @@ def main(argv=None):
     ap.add_argument("--exist-ok", action="store_true")
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--max-frames", type=int, default=0,
+                    help="stop stream sources after N frames per stream "
+                         "(0 = run until the stream ends)")
     args = ap.parse_args(argv)
 
     import cv2
@@ -90,7 +101,6 @@ def main(argv=None):
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
 
-    imgs, vids = list_sources(args.source)
     t0 = time.time()
     n_done = 0
 
@@ -119,6 +129,36 @@ def main(argv=None):
             elif not args.nosave:
                 cv2.imwrite(str(save_dir / Path(path).name), frame)
             print(f"{path}: {len(rows)} faces")
+
+    if is_stream_source(args.source):
+        # webcam index / rtsp / rtmp / http / .txt stream list -> the
+        # threaded multi-stream grabber (reference detect.py:56-61 via
+        # utils/datasets.py:262-340); each iteration is the freshest
+        # frame of every stream, batched through one engine call
+        from face_detection_multi_scale_tpu.data.streams import LoadStreams
+
+        streams = LoadStreams(args.source)
+        writers = {}
+        if not args.nosave:
+            for si, s in enumerate(streams.sources):
+                h0, w0 = streams.frames[si].shape[:2]
+                writers[si] = cv2.VideoWriter(
+                    str(save_dir / f"stream{si}.mp4"),
+                    cv2.VideoWriter_fourcc(*"mp4v"), 30, (w0, h0))
+        try:
+            for fi, (sources, frames, _) in enumerate(streams):
+                for si, frame in enumerate(frames):
+                    process_frames([frame], [f"stream{si}"],
+                                   writers.get(si))
+                if args.max_frames and fi + 1 >= args.max_frames:
+                    break
+        finally:
+            streams.close()
+            for w in writers.values():
+                w.release()
+        imgs, vids = [], []
+    else:
+        imgs, vids = list_sources(args.source)
 
     # images, batched
     for i in range(0, len(imgs), args.batch_size):

@@ -83,12 +83,15 @@ def main(argv=None):
         buckets[lb.shape[:2]].append((name, img0.shape, lb))
 
     n_written = 0
+    gated_counts = []
     for shape, items in sorted(buckets.items(), key=lambda kv: -len(kv[1])):
         for i in range(0, len(items), args.batch_size):
             chunk = items[i:i + args.batch_size]
             batch = np.stack([
                 np.ascontiguousarray(lb[:, :, ::-1]) for _, _, lb in chunk])
             dets = det.run_network(batch)
+            gated_counts.extend(
+                np.asarray(dets.n_gated)[:len(chunk)].tolist())
             rows_list = detections_to_numpy(dets)
             for (name, img0_shape, _), rows in zip(chunk, rows_list):
                 rows = rows.astype(np.float64)
@@ -101,6 +104,20 @@ def main(argv=None):
                 n_written += 1
     print(f"Done. {n_written} txts in {time.time() - t0:.3f}s "
           f"({len(buckets)} shape buckets) -> {args.save_folder}")
+    # candidate-truncation telemetry: the reference keeps every gated box
+    # (max_nms 30000, utils/general.py:518-524); our fixed capacity drops
+    # candidates silently when a crowded image exceeds it — report it
+    from face_detection_multi_scale_tpu.ops.nms import truncation_stats
+    stats = truncation_stats(gated_counts, args.max_candidates)
+    if stats["truncated_images"]:
+        print(f"WARNING: {stats['truncated_images']}/{stats['images']} "
+              f"images exceeded --max-candidates {args.max_candidates} "
+              f"(max gated {stats['max_gated']}, "
+              f"{stats['dropped_total']} candidates dropped) — raise "
+              f"--max-candidates to recover recall")
+    else:
+        print(f"candidate truncation: none "
+              f"(max gated {stats['max_gated']}/{args.max_candidates})")
     return 0
 
 

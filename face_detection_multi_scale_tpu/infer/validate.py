@@ -53,6 +53,7 @@ def validate(model, variables, dataset: FaceDataset, *,
 
     loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
     stats = []
+    gated_counts = []
     t_infer = 0.0
     n_images = 0
     for images, labels, paths, shapes in loader:
@@ -64,6 +65,8 @@ def validate(model, variables, dataset: FaceDataset, *,
         dets = run(variables, images)
         rows_list = NMS.detections_to_numpy(dets)
         t_infer += time.perf_counter() - t0
+        if dets.n_gated is not None:
+            gated_counts.extend(np.asarray(dets.n_gated).tolist())
         for bi, rows in enumerate(rows_list):
             n_images += 1
             (h0, w0), ((rh, rw), pad) = shapes[bi]
@@ -99,9 +102,15 @@ def validate(model, variables, dataset: FaceDataset, *,
             out.update(mp=float(p.mean()), mr=float(r.mean()),
                        map50=float(ap[:, 0].mean()),
                        map=float(ap.mean()))
+    trunc = NMS.truncation_stats(gated_counts, 4096)
+    out["truncated_images"] = trunc["truncated_images"]
     if verbose:
         print(f"val: {out['images']} images  P {out['mp']:.4f}  "
               f"R {out['mr']:.4f}  mAP50 {out['map50']:.4f}  "
               f"mAP {out['map']:.4f}  "
               f"{out['ms_per_image']:.1f} ms/img")
+        if trunc["truncated_images"]:
+            print(f"WARNING: {trunc['truncated_images']}/{trunc['images']} "
+                  f"images exceeded the 4096 pre-NMS candidate cap "
+                  f"({trunc['dropped_total']} candidates dropped)")
     return out

@@ -37,16 +37,43 @@ class Detections(NamedTuple):
     classes: (..., max_det)
     extras: (..., max_det, E) landmark triplets (x, y, conf) * nkpt, or E=0
     valid:  (..., max_det) bool
+    n_gated: (...,) int32 — how many rows cleared the confidence gate
+        BEFORE the fixed `max_candidates` truncation, or None when the
+        producer didn't count. n_gated > max_candidates means candidates
+        were silently dropped (the accuracy knob of the fixed-capacity
+        design); `truncation_stats` turns this into a report.
     """
     boxes: jnp.ndarray
     scores: jnp.ndarray
     classes: jnp.ndarray
     extras: jnp.ndarray
     valid: jnp.ndarray
+    n_gated: jnp.ndarray = None
 
     @property
     def count(self):
         return self.valid.sum(-1)
+
+
+def truncation_stats(n_gated, max_candidates: int) -> dict:
+    """Summarize candidate-truncation telemetry for a run.
+
+    The reference NMS admits every gated box up to max_nms=30000 and
+    loses nothing silently (utils/general.py:518-524); our fixed
+    `max_candidates` cap does truncate when a crowded image exceeds it.
+    Feed the accumulated per-image `Detections.n_gated` values here and
+    surface the result in eval CLIs."""
+    import numpy as np
+
+    n = np.asarray(n_gated).reshape(-1)
+    truncated = n > max_candidates
+    return {
+        "images": int(n.size),
+        "truncated_images": int(truncated.sum()),
+        "max_gated": int(n.max()) if n.size else 0,
+        "max_candidates": int(max_candidates),
+        "dropped_total": int(np.clip(n - max_candidates, 0, None).sum()),
+    }
 
 
 def nms_indices(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
@@ -165,7 +192,8 @@ def _gather_candidates(pred: jnp.ndarray, *, nc: int,
     offset = jnp.zeros_like(top_cls) if (agnostic or nc == 1) else top_cls
     nms_boxes = top_boxes + (offset * MAX_WH)[:, None]
     valid = top_conf > NEG_INF / 2
-    return top_boxes, top_conf, top_cls, extras, nms_boxes, valid
+    n_gated = gate.sum().astype(jnp.int32)
+    return top_boxes, top_conf, top_cls, extras, nms_boxes, valid, n_gated
 
 
 def _select_kept(keep, boxes, conf, cls, extras, max_det):
@@ -211,7 +239,8 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
     gather = functools.partial(_gather_candidates, nc=nc,
                                conf_thres=conf_thres, k=k,
                                agnostic=agnostic)
-    boxes, conf, cls, extras, nms_boxes, valid = jax.vmap(gather)(pred)
+    boxes, conf, cls, extras, nms_boxes, valid, n_gated = \
+        jax.vmap(gather)(pred)
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
@@ -230,7 +259,8 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
                                   jnp.where(valid, conf, NEG_INF))
 
     select = functools.partial(_select_kept, max_det=min(max_det, k))
-    return jax.vmap(select)(keep, boxes, conf, cls, extras)
+    dets = jax.vmap(select)(keep, boxes, conf, cls, extras)
+    return dets._replace(n_gated=n_gated)
 
 
 def non_max_suppression_from_raws(raws, spec, conf_thres: float,
@@ -372,7 +402,8 @@ def non_max_suppression_from_raws(raws, spec, conf_thres: float,
 
     return Detections(boxes=fin_boxes, scores=fin_conf,
                       classes=jnp.zeros((bs, max_det), jnp.float32),
-                      extras=extras, valid=sel_valid)
+                      extras=extras, valid=sel_valid,
+                      n_gated=gate.sum(axis=1).astype(jnp.int32))
 
 
 def merge_nms_boxes(dets: Detections, all_boxes: jnp.ndarray,

@@ -114,3 +114,36 @@ def test_visualize_widerface_to_labels(annot, tmp_path):
     assert abs(row[1] - (10 + 30 / 2) / 120) < 1e-6
     assert abs(row[2] - (10 + 30 / 2) / 100) < 1e-6
     assert row[5::3] == [0.0] * 5 and row[7::3] == [2.0] * 5
+
+
+def test_detect_cli_stream_source(tmp_path, monkeypatch):
+    """`--source <list>.txt` dispatches to LoadStreams (reference
+    detect.py:56-61): frames flow from the threaded grabber through the
+    engine and out to per-stream mp4s + label txts."""
+    import cv2
+
+    import cli.detect as detect_cli
+
+    vid = str(tmp_path / "cam.mp4")
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10, (96, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        writer.write(rng.integers(0, 255, (64, 96, 3), np.uint8))
+    writer.release()
+    lst = tmp_path / "streams.txt"
+    lst.write_text(vid + "\n")
+
+    assert detect_cli.is_stream_source(str(lst))
+    assert detect_cli.is_stream_source("0")
+    assert detect_cli.is_stream_source("rtsp://cam.local/live")
+    assert not detect_cli.is_stream_source("images/")
+
+    monkeypatch.chdir(tmp_path)
+    rc = detect_cli.main([
+        "--source", str(lst), "--model", "yolov7-lite-t",
+        "--img-size", "64", "--max-frames", "2", "--save-txt",
+        "--conf-thres", "0.0001", "--project", str(tmp_path / "runs")])
+    assert rc == 0
+    out = tmp_path / "runs" / "exp"
+    assert (out / "stream0.mp4").exists()

@@ -161,3 +161,30 @@ def test_weighted_nms_merge_padded_matches_direct():
     # 37 and 100 share the 128 bucket (129 -> 256, 511 -> 512)
     info = N._weighted_nms_exec.cache_info()
     assert info.hits >= 1 and info.misses <= 3
+
+
+def test_truncation_telemetry():
+    """n_gated counts gate-passing rows pre-truncation; truncation_stats
+    flags images whose gated count exceeds max_candidates (VERDICT r2 #7:
+    the reference loses nothing silently, utils/general.py:518-524)."""
+    rng = np.random.default_rng(7)
+    n, no = 64, 21
+    pred = np.zeros((2, n, no), np.float32)
+    pred[..., :4] = rng.uniform(10, 600, (2, n, 4))
+    pred[..., 2:4] = rng.uniform(4, 60, (2, n, 2))
+    pred[..., 5] = 1.0  # cls prob
+    # image 0: 40 rows above the gate; image 1: 5 rows
+    pred[0, :40, 4] = rng.uniform(0.5, 1.0, 40)
+    pred[1, :5, 4] = rng.uniform(0.5, 1.0, 5)
+    k = 16
+    dets = N.non_max_suppression(pred, 0.25, 0.5, nc=1, nkpt=5,
+                                 max_candidates=k, max_det=8,
+                                 backend="xla")
+    assert dets.n_gated is not None
+    np.testing.assert_array_equal(np.asarray(dets.n_gated), [40, 5])
+    stats = N.truncation_stats(dets.n_gated, k)
+    assert stats["truncated_images"] == 1
+    assert stats["max_gated"] == 40
+    assert stats["dropped_total"] == 40 - k
+    clean = N.truncation_stats(dets.n_gated, 64)
+    assert clean["truncated_images"] == 0
