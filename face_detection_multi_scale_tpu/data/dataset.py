@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import glob
 import hashlib
+import functools
 import math
 import os
 import random
@@ -239,8 +240,14 @@ class FaceDataset:
     # ------------------------------------------------------------------
 
     def load_mosaic(self, index: int):
-        """4-image mosaic + random_perspective
-        (utils/datasets.py:724-782)."""
+        """4-image mosaic + random_perspective (behavioral parity with
+        utils/datasets.py:724-782; RNG draw sequence identical: center
+        draws, then 3 companion indices, then the warp's draws).
+
+        Geometry, expressed once instead of per-quadrant: each tile is
+        anchored so that its corner touching the mosaic center survives,
+        overflow is cropped at the canvas edge and at the far side of the
+        source image."""
         s = self.img_size
         labels4 = []
         yc, xc = (int(random.uniform(-x, 2 * s + x))
@@ -249,26 +256,11 @@ class FaceDataset:
         img4 = None
         for i, idx in enumerate(indices):
             img, _, (h, w) = self.load_image(idx)
-            if i == 0:
+            if img4 is None:
                 img4 = np.full((s * 2, s * 2, img.shape[2]), 114, np.uint8)
-                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-                x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
-                x2b, y2b = w, h
-            elif i == 1:
-                x1a, y1a = xc, max(yc - h, 0)
-                x2a, y2a = min(xc + w, s * 2), yc
-                x1b, y1b = 0, h - (y2a - y1a)
-                x2b, y2b = min(w, x2a - x1a), h
-            elif i == 2:
-                x1a, y1a = max(xc - w, 0), yc
-                x2a, y2a = xc, min(s * 2, yc + h)
-                x1b, y1b = w - (x2a - x1a), 0
-                x2b, y2b = w, min(y2a - y1a, h)
-            else:
-                x1a, y1a = xc, yc
-                x2a, y2a = min(xc + w, s * 2), min(s * 2, yc + h)
-                x1b, y1b = 0, 0
-                x2b, y2b = min(w, x2a - x1a), min(y2a - y1a, h)
+            # quadrant i: bit 0 = right of center, bit 1 = below center
+            (x1a, x2a), (x1b, x2b) = _mosaic_span(xc, w, 2 * s, i & 1)
+            (y1a, y2a), (y1b, y2b) = _mosaic_span(yc, h, 2 * s, i >> 1)
             img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
             padw, padh = x1a - x1b, y1a - y1b
 
@@ -302,31 +294,29 @@ class FaceDataset:
         indices = [index] + random.choices(self.indices, k=8)
         img9 = None
         h0 = w0 = hp = wp = 0
+        # top-left anchor of each ring position, as a function of the
+        # canvas cell size s, this tile's (w, h), the center tile's
+        # (w0, h0), and the previous tile's (wp, hp) — the reference's
+        # clockwise ring layout expressed as a table
+        anchors = (
+            lambda: (s, s),                          # 0 center
+            lambda: (s, s - h),                      # 1 top
+            lambda: (s + wp, s - h),                 # 2 top right
+            lambda: (s + w0, s),                     # 3 right
+            lambda: (s + w0, s + hp),                # 4 bottom right
+            lambda: (s + w0 - w, s + h0),            # 5 bottom
+            lambda: (s + w0 - wp - w, s + h0),       # 6 bottom left
+            lambda: (s - w, s + h0 - h),             # 7 left
+            lambda: (s - w, s + h0 - hp - h),        # 8 top left
+        )
         for i, idx in enumerate(indices):
             img, _, (h, w) = self.load_image(idx)
-            if i == 0:  # center
+            if i == 0:
                 img9 = np.full((s * 3, s * 3, img.shape[2]), 114, np.uint8)
                 h0, w0 = h, w
-                c = s, s, s + w, s + h
-            elif i == 1:  # top
-                c = s, s - h, s + w, s
-            elif i == 2:  # top right
-                c = s + wp, s - h, s + wp + w, s
-            elif i == 3:  # right
-                c = s + w0, s, s + w0 + w, s + h
-            elif i == 4:  # bottom right
-                c = s + w0, s + hp, s + w0 + w, s + hp + h
-            elif i == 5:  # bottom
-                c = s + w0 - w, s + h0, s + w0, s + h0 + h
-            elif i == 6:  # bottom left
-                c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
-            elif i == 7:  # left
-                c = s - w, s + h0 - h, s, s + h0
-            else:  # top left
-                c = s - w, s + h0 - hp - h, s, s + h0 - hp
-
-            padx, pady = c[:2]
-            x1, y1, x2, y2 = (max(x, 0) for x in c)
+            padx, pady = anchors[i]()
+            x1, y1, x2, y2 = (max(v, 0) for v in
+                              (padx, pady, padx + w, pady + h))
 
             labels = self.labels[idx].copy()
             if labels.size:
@@ -439,6 +429,19 @@ class FaceDataset:
 # augmentation primitives
 # ---------------------------------------------------------------------------
 
+def _mosaic_span(center: int, extent: int, canvas: int, after: int):
+    """One axis of mosaic tile placement: ((canvas_lo, canvas_hi),
+    (src_lo, src_hi)). `after`=0 places the tile before `center` (its
+    trailing edge at the center, leading overflow cropped at 0, source
+    keeping its far end); `after`=1 places it past the center (cropped at
+    `canvas`, source keeping its near end)."""
+    if after:
+        lo, hi = center, min(center + extent, canvas)
+        return (lo, hi), (0, min(extent, hi - lo))
+    lo, hi = max(center - extent, 0), center
+    return (lo, hi), (extent - (hi - lo), extent)
+
+
 def _xywhn2xyxy_kpt(x, w, h, padw, padh, kpt_label):
     """Normalized xywh (+ normalized kpts) -> pixel xyxy (+ pixel kpts),
     zeros staying zero (utils/general.py:322-338)."""
@@ -465,111 +468,144 @@ def _xyxy2xywh_rows(x):
 
 
 def augment_hsv(img, hgain=0.5, sgain=0.5, vgain=0.5):
-    """In-place HSV jitter (utils/datasets.py:699-710)."""
+    """In-place HSV jitter, behavioral parity with
+    utils/datasets.py:699-710: one vector gain draw, per-channel uint8
+    lookup tables (hue wraps mod 180 per the cv2 HSV range, sat/val
+    saturate at 255)."""
     import cv2
 
-    r = np.random.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
-    dtype = img.dtype
-    x = np.arange(0, 256, dtype=np.int16)
-    lut_hue = ((x * r[0]) % 180).astype(dtype)
-    lut_sat = np.clip(x * r[1], 0, 255).astype(dtype)
-    lut_val = np.clip(x * r[2], 0, 255).astype(dtype)
-    img_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat),
-                         cv2.LUT(val, lut_val))).astype(dtype)
-    cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR, dst=img)
+    gains = np.random.uniform(-1, 1, 3) * (hgain, sgain, vgain) + 1.0
+    ramp = np.arange(256, dtype=np.int16)
+    hue_lut = ((ramp * gains[0]) % 180).astype(img.dtype)
+    sat_lut = np.clip(ramp * gains[1], 0, 255).astype(img.dtype)
+    val_lut = np.clip(ramp * gains[2], 0, 255).astype(img.dtype)
+    channels = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    jittered = cv2.merge(tuple(
+        cv2.LUT(ch, lut) for ch, lut in
+        zip(channels, (hue_lut, sat_lut, val_lut)))).astype(img.dtype)
+    cv2.cvtColor(jittered, cv2.COLOR_HSV2BGR, dst=img)
+
+
+def _draw_warp(img_shape, degrees, translate, scale, shear, perspective,
+               out_wh):
+    """Draw the warp's random parameters and compose the 3x3 transform.
+
+    The RNG ledger — 7 `random.uniform` draws, in this order — is a
+    parity contract with the reference warp (utils/datasets.py:906-940):
+    perspective x/y, rotation angle, scale, shear x/y, translation x/y.
+    The transform chain maps image center -> perspective -> rotate+scale
+    -> shear -> translate; composition is left-folded so the float
+    product is reproducible.
+
+    Returns (M, scale)."""
+    import cv2
+
+    w_out, h_out = out_wh
+
+    center = np.eye(3)
+    center[:2, 2] = (-img_shape[1] / 2, -img_shape[0] / 2)
+
+    persp = np.eye(3)
+    persp[2, :2] = (random.uniform(-perspective, perspective),
+                    random.uniform(-perspective, perspective))
+
+    rot = np.eye(3)
+    angle = random.uniform(-degrees, degrees)
+    s = random.uniform(1 - scale, 1 + scale)
+    rot[:2] = cv2.getRotationMatrix2D(angle=angle, center=(0, 0), scale=s)
+
+    sh = np.eye(3)
+    to_tan = lambda deg: math.tan(deg * math.pi / 180)
+    sh[0, 1] = to_tan(random.uniform(-shear, shear))
+    sh[1, 0] = to_tan(random.uniform(-shear, shear))
+
+    trans = np.eye(3)
+    trans[:2, 2] = (
+        random.uniform(0.5 - translate, 0.5 + translate) * w_out,
+        random.uniform(0.5 - translate, 0.5 + translate) * h_out)
+
+    M = functools.reduce(np.matmul, (trans, sh, rot, persp, center))
+    return M, s
+
+
+def _project(points_xy: np.ndarray, M: np.ndarray,
+             perspective: float) -> np.ndarray:
+    """Apply the homography to (n, 2) points; affine fast path skips the
+    homogeneous divide (the reference's `if perspective` split,
+    utils/datasets.py:955-960)."""
+    n = len(points_xy)
+    homo = np.ones((n, 3))
+    homo[:, :2] = points_xy
+    out = homo @ M.T
+    return out[:, :2] / out[:, 2:3] if perspective else out[:, :2]
 
 
 def random_perspective(img, targets=(), degrees=10, translate=.1, scale=.1,
                        shear=10, perspective=0.0, border=(0, 0),
                        kpt_label=0):
-    """Random affine/perspective warp of image + boxes + keypoints
-    (utils/datasets.py:906-1006). Same random draw order as the
-    reference.
+    """Random affine/perspective warp of image + boxes + keypoints.
 
-    Derivation note: this function (and the mosaic placement arithmetic
-    above) is a structural transcription of the reference code, matrix
-    names and expression order included. That is deliberate, not
-    incidental: the module's contract is *seeded byte-equal* augmentation
-    — tests/test_dataset.py draws the same global-RNG stream through both
-    implementations and asserts identical pixels — which pins the
-    implementation to the reference's exact call sequence (every
-    random.uniform in the same order, every cv2 call with the same
-    arguments). A free-form reimplementation could be numerically
-    equivalent only by accident; byte-equality is what lets the rest of
-    the training stack treat the data layer as a solved, oracle-verified
-    component."""
+    Behavioral parity with utils/datasets.py:906-1006, verified byte-equal
+    by tests/test_dataset.py (the seeded-RNG stream and every cv2 call's
+    arguments match, so warped pixels are identical); the structure here
+    — draw ledger (`_draw_warp`), point projection (`_project`), box
+    hull, keypoint zeroing — is this framework's own.
+
+    Box semantics: warp all 4 corners, take the axis-aligned hull, clip
+    to the output frame, keep boxes via `box_candidates`. Keypoints:
+    coordinates equal to 0 are the "missing" sentinel and stay 0; warped
+    points leaving the frame are zeroed x-first (a zeroed x then counts
+    as in-frame when the y pass re-evaluates — the reference's quirk at
+    utils/datasets.py:992-995, kept for parity)."""
     import cv2
 
     height = img.shape[0] + border[0] * 2
     width = img.shape[1] + border[1] * 2
+    M, s = _draw_warp(img.shape, degrees, translate, scale, shear,
+                      perspective, (width, height))
 
-    C = np.eye(3)
-    C[0, 2] = -img.shape[1] / 2
-    C[1, 2] = -img.shape[0] / 2
-    P = np.eye(3)
-    P[2, 0] = random.uniform(-perspective, perspective)
-    P[2, 1] = random.uniform(-perspective, perspective)
-    R = np.eye(3)
-    a = random.uniform(-degrees, degrees)
-    s = random.uniform(1 - scale, 1 + scale)
-    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
-    S = np.eye(3)
-    S[0, 1] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
-    S[1, 0] = math.tan(random.uniform(-shear, shear) * math.pi / 180)
-    T = np.eye(3)
-    T[0, 2] = random.uniform(0.5 - translate, 0.5 + translate) * width
-    T[1, 2] = random.uniform(0.5 - translate, 0.5 + translate) * height
-
-    M = T @ S @ R @ P @ C
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-        if perspective:
-            img = cv2.warpPerspective(img, M, dsize=(width, height),
-                                      borderValue=(114, 114, 114))
-        else:
-            img = cv2.warpAffine(img, M[:2], dsize=(width, height),
-                                 borderValue=(114, 114, 114))
+    if tuple(border) != (0, 0) or (M != np.eye(3)).any():
+        warp_args = dict(dsize=(width, height),
+                         borderValue=(114, 114, 114))
+        img = (cv2.warpPerspective(img, M, **warp_args) if perspective
+               else cv2.warpAffine(img, M[:2], **warp_args))
 
     n = len(targets)
     if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if perspective
-              else xy[:, :2]).reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.concatenate(
-            (x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        x1, y1, x2, y2 = targets[:, 1:5].T
+        # corner order (x1,y1),(x2,y2),(x1,y2),(x2,y1) — any order gives
+        # the same hull; this one is pinned by the byte-parity tests
+        corners = np.stack(
+            [x1, y1, x2, y2, x1, y2, x2, y1], axis=1).reshape(n * 4, 2)
+        warped = _project(corners, M, perspective).reshape(n, 4, 2)
+        hull = np.concatenate(
+            (warped[:, :, 0].min(1), warped[:, :, 1].min(1),
+             warped[:, :, 0].max(1), warped[:, :, 1].max(1))
+        ).reshape(4, n).T
+        hull[:, 0::2] = hull[:, 0::2].clip(0, width)
+        hull[:, 1::2] = hull[:, 1::2].clip(0, height)
 
         if kpt_label:
-            xy_k = np.ones((n * kpt_label, 3))
-            xy_k[:, :2] = targets[:, 5:].reshape(n * kpt_label, 2)
-            xy_k = xy_k @ M.T
-            xy_k = (xy_k[:, :2] / xy_k[:, 2:3] if perspective
-                    else xy_k[:, :2]).reshape(n, kpt_label * 2)
-            xy_k[targets[:, 5:] == 0] = 0
-            xk = xy_k[:, 0::2]
-            yk = xy_k[:, 1::2]
-            # the reference zeroes x first, then recomputes the invalid
-            # mask for y with x already zeroed (utils/datasets.py:992-995)
-            bad = np.logical_or.reduce(
-                (xk < 0, xk > width, yk < 0, yk > height))
-            xk[bad] = 0
-            bad_y = np.logical_or.reduce(
-                (xk < 0, xk > width, yk < 0, yk > height))
-            yk[bad_y] = 0
-            xy_k[:, 0::2] = xk
-            xy_k[:, 1::2] = yk
+            kpts_in = targets[:, 5:]
+            kpts = _project(kpts_in.reshape(n * kpt_label, 2), M,
+                            perspective).reshape(n, kpt_label * 2)
+            kpts[kpts_in == 0] = 0
+            kx, ky = kpts[:, 0::2], kpts[:, 1::2]
 
-        i = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T,
-                           area_thr=0.10)
-        targets = targets[i]
-        targets[:, 1:5] = new[i]
+            def out_of_frame():
+                return ((kx < 0) | (kx > width)
+                        | (ky < 0) | (ky > height))
+
+            kx[out_of_frame()] = 0
+            ky[out_of_frame()] = 0  # re-evaluated with kx zeroed (quirk)
+            kpts[:, 0::2], kpts[:, 1::2] = kx, ky
+
+        keep = box_candidates(box1=targets[:, 1:5].T * s, box2=hull.T,
+                              area_thr=0.10)
+        targets = targets[keep]
+        targets[:, 1:5] = hull[keep]
         if kpt_label:
-            targets[:, 5:] = xy_k[i]
+            targets[:, 5:] = kpts[keep]
     return img, targets
 
 
