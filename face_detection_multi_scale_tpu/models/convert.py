@@ -115,7 +115,11 @@ def load_torch_checkpoint(path: str):
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    model = ckpt.get("ema") or ckpt.get("model") if isinstance(ckpt, dict) else ckpt
+    if isinstance(ckpt, dict) and ("ema" in ckpt or "model" in ckpt):
+        # training ckpt dict (train.py:517-524): EMA preferred
+        model = ckpt.get("ema") or ckpt.get("model")
+    else:
+        model = ckpt  # bare module or raw state dict
     if hasattr(model, "float"):
         model = model.float()
         return {k: v for k, v in model.state_dict().items()}
