@@ -18,7 +18,9 @@ def main(argv=None):
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--format", default="stablehlo",
-                    choices=["stablehlo", "savedmodel"])
+                    choices=["stablehlo", "savedmodel", "onnx"],
+                    help="onnx uses the jax2tf->tf2onnx bridge and needs "
+                         "the optional tf2onnx+onnx packages")
     ap.add_argument("--output", default=None)
     ap.add_argument("--export-nms", action="store_true", default=True,
                     help="fuse decode + NMS into the artifact (default)")
@@ -48,15 +50,21 @@ def main(argv=None):
                      if args.weights.endswith(".npz") else
                      convert_state_dict(load_torch_checkpoint(args.weights)))
 
-    out = args.output or (
-        f"{spec.name}_{args.img_size}"
-        + (".stablehlo" if args.format == "stablehlo" else "_savedmodel"))
+    suffix = {"stablehlo": ".stablehlo", "savedmodel": "_savedmodel",
+              "onnx": ".onnx"}[args.format]
+    out = args.output or f"{spec.name}_{args.img_size}{suffix}"
     if args.format == "stablehlo":
         EM.export_stablehlo(
             model, variables, spec, out, img_size=args.img_size,
             batch=args.batch_size, include_postprocess=args.export_nms,
             raw_heads=args.raw_heads, conf_thres=args.conf_thres,
             iou_thres=args.iou_thres, max_det=args.max_det)
+    elif args.format == "onnx":
+        EM.export_onnx(
+            model, variables, spec, out, img_size=args.img_size,
+            batch=args.batch_size, include_postprocess=args.export_nms,
+            conf_thres=args.conf_thres, iou_thres=args.iou_thres,
+            max_det=args.max_det)
     else:
         EM.export_savedmodel(
             model, variables, spec, out, img_size=args.img_size,

@@ -92,6 +92,50 @@ def load_stablehlo(path: str):
     return jax.jit(exported.call)
 
 
+def export_onnx(model, variables, spec, path: str, *,
+                img_size: int = 640, batch: int = 1,
+                include_postprocess: bool = False,
+                conf_thres: float = 0.25, iou_thres: float = 0.45,
+                max_det: int = 300, dtype=jnp.float32,
+                opset: int = 13) -> str:
+    """ONNX via the jax2tf -> tf2onnx bridge — the reference's actual
+    interchange format (models/export.py:85-132, opset 11 there; 13 is
+    tf2onnx's floor for the ops jax2tf emits).
+
+    Requires the optional `tf2onnx` + `onnx` packages (absent from the
+    frozen TPU image, so this path is exercised only where they are
+    installed; see README "Export formats"). Postprocess-fused export is
+    possible but off by default — ONNX consumers usually attach their own
+    NMS, matching the reference default (--export-nms opt-in)."""
+    try:
+        import tf2onnx  # noqa: F401  (optional dependency)
+    except ImportError as e:
+        raise ImportError(
+            "ONNX export needs the optional tf2onnx+onnx packages "
+            "(pip install tf2onnx onnx). On TPU serving images, prefer "
+            "--format stablehlo or savedmodel; convert to ONNX on a dev "
+            "machine: python -m tf2onnx.convert --saved-model "
+            "<savedmodel dir> --output model.onnx") from e
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    fn = _build_fn(model, variables, spec,
+                   include_postprocess=include_postprocess,
+                   raw_heads=False, conf_thres=conf_thres,
+                   iou_thres=iou_thres, max_det=max_det, dtype=dtype)
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        input_signature=[tf.TensorSpec((batch, img_size, img_size, 3),
+                                       tf.uint8)],
+        autograph=False)
+    tf2onnx.convert.from_function(
+        tf_fn,
+        input_signature=[tf.TensorSpec((batch, img_size, img_size, 3),
+                                       tf.uint8)],
+        opset=opset, output_path=path)
+    return path
+
+
 def export_savedmodel(model, variables, spec, path: str, *,
                       img_size: int = 640, batch: int = 1,
                       include_postprocess: bool = True,
