@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--faces-per-image", type=int, default=8)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--with-loader", action="store_true",
+                    help="feed the step from the real augmenting "
+                         "DataLoader (synthetic WIDER-layout images, "
+                         "mosaic+perspective+HSV on) and report the "
+                         "input-pipeline wait share")
+    ap.add_argument("--loader-workers", type=int, default=8)
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -85,6 +91,74 @@ def main():
     state, loss, _ = step(state, *batches[0])  # compile
     state, loss, _ = step(state, *batches[1])  # warm
     float(loss)
+
+    if args.with_loader:
+        # real input pipeline: synthetic WIDER-layout images through the
+        # augmenting DataLoader (mosaic+perspective+HSV) + host-side
+        # build_targets, overlapped with the device step; the wait share
+        # is the fraction of wall time the device sat idle for input
+        # (reference hot loop train.py:399-463)
+        import tempfile
+
+        import yaml
+
+        from face_detection_multi_scale_tpu.data.dataset import (
+            DataLoader, FaceDataset)
+        from face_detection_multi_scale_tpu.data.synthetic import (
+            make_synthetic_face_dataset)
+
+        root = tempfile.mkdtemp(prefix="train_bench_")
+        n_images = max(args.batch * (args.iters + 2), args.batch * 3)
+        yaml_path = make_synthetic_face_dataset(
+            root, n_images=n_images, img_size=args.img_size)
+        with open(yaml_path) as f:
+            train_dir = yaml.safe_load(f)["train"]
+        hyp = dict(HYP_SCRATCH_P6)
+        hyp.update(mosaic=1.0, translate=0.1, scale=0.5, fliplr=0.5,
+                   hsv_h=0.015, hsv_s=0.7, hsv_v=0.4)
+        ds = FaceDataset(train_dir, img_size=args.img_size, augment=True,
+                         hyp=hyp, kpt_label=5, stride=spec.max_stride,
+                         batch_size=args.batch)
+        loader = DataLoader(ds, args.batch, shuffle=True,
+                            workers=args.loader_workers, prefetch=3)
+
+        def feed():
+            for images, labels, _, _ in loader:
+                targets = build_targets_batched(
+                    labels, args.batch, spec, grids, anchor_t=4.0)
+                yield (jax.device_put(images),
+                       jax.tree.map(
+                           lambda x: jax.device_put(jnp.asarray(x)),
+                           targets))
+
+        gen = feed()
+        next(gen)  # exclude loader spin-up from the measurement
+        t0 = time.perf_counter()
+        t_wait = 0.0
+        n_steps = 0
+        for _ in range(args.iters):
+            tw = time.perf_counter()
+            try:
+                images_d, targets_d = next(gen)
+            except StopIteration:
+                break
+            t_wait += time.perf_counter() - tw
+            state, loss, _ = step(state, images_d, targets_d)
+            n_steps += 1
+        final = float(loss)
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"{args.model} {args.img_size}px TRAIN "
+                      f"images/sec/chip (batch={args.batch}, "
+                      f"{args.dtype}, real augmenting loader "
+                      f"{args.loader_workers}w + build_targets + "
+                      f"fwd+bwd+SGD+EMA+BN)",
+            "value": round(args.batch * n_steps / dt, 2),
+            "unit": "images/sec/chip",
+            "input_wait_share": round(t_wait / dt, 4),
+            "loss": round(final, 4)}))
+        return 0
+
     t0 = time.perf_counter()
     for i in range(args.iters):
         state, loss, _ = step(state, *batches[i % 3])
