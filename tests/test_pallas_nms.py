@@ -46,3 +46,29 @@ def test_pallas_invalid_tail():
                                       interpret=True))[0]
     assert not keep[512:].any()  # invalid rows never kept
     assert keep[:512].any()
+
+
+@pytest.mark.parametrize("b,k,thr,frac", [
+    (2, 1024, 0.5, 1.0), (1, 2048, 0.3, 1.0), (3, 1024, 0.7, 1.0),
+    (1, 1024, 0.5, 0.4),  # invalid tail crosses tile boundaries
+    (1, 1024, 0.9, 1.0),  # long suppression chains
+])
+def test_seq_kernel_matches_fixpoint(b, k, thr, frac):
+    """The round-3 tile-sequential kernel == the round-2 fixpoint kernel
+    == the greedy matrix oracle, bit for bit."""
+    boxes, scores, valid = sorted_candidates(b, k, seed=k + 13,
+                                             frac_valid=frac)
+    keep_seq = np.asarray(nms_keep_pallas(
+        jnp.asarray(boxes), jnp.asarray(valid), thr, interpret=True,
+        kernel_version="seq"))
+    keep_fix = np.asarray(nms_keep_pallas(
+        jnp.asarray(boxes), jnp.asarray(valid), thr, interpret=True,
+        kernel_version="fixpoint"))
+    np.testing.assert_array_equal(keep_seq, keep_fix)
+    for i in range(b):
+        idx, v = N.nms_keep_matrix(boxes[i], np.where(
+            valid[i], scores[i], N.NEG_INF), thr, max_det=k)
+        want = np.zeros(k, bool)
+        want[np.asarray(idx)[np.asarray(v)]] = True
+        np.testing.assert_array_equal(keep_seq[i], want,
+                                      err_msg=f"batch {i}")
