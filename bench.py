@@ -183,7 +183,11 @@ def run_sweep(smoke: bool) -> list:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="yolov7-tiny-face")
+    ap.add_argument("--model", default="yolov7-w6-face",
+                    help="default is the FLAGSHIP (the production "
+                         "AP-parity architecture, reference "
+                         "multi_scale_face_detector.py:696); the tiny "
+                         "serving model's numbers live in the sweep")
     ap.add_argument("--img-size", type=int, default=640)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
@@ -227,13 +231,27 @@ def main():
     point = run_point(args.model, args.img_size, args.batch, args.iters,
                       args.pool, args.dtype, args.conf_thres,
                       args.max_candidates)
+    extra = ""
+    if not args.smoke and args.model == "yolov7-w6-face" \
+            and args.conf_thres >= 0.1:
+        # also measure the WIDER-eval operating point (conf 0.01, deep
+        # candidate buffer) in the same run — the number AP parity is
+        # actually earned at
+        ep = run_point(args.model, args.img_size, args.batch,
+                       max(args.iters // 2, 4), args.pool, args.dtype,
+                       0.01, 4096, with_h2d=False)
+        extra = (f"; eval point conf 0.01/k4096: "
+                 f"{ep['images_per_sec']:.0f} img/s")
+    tag = " (flagship)" if args.model == "yolov7-w6-face" else ""
     result = {
-        "metric": (f"{args.model} {args.img_size}px images/sec/chip "
-                   f"(batch={args.batch}, {args.dtype}, fused "
-                   f"infer+decode+NMS, device-resident inputs; "
+        "metric": (f"{args.model}{tag} {args.img_size}px "
+                   f"images/sec/chip (batch={args.batch}, {args.dtype}, "
+                   f"fused infer+decode+NMS, serving point conf "
+                   f"{args.conf_thres}, device-resident inputs; "
                    f"with H2D over tunnel: "
-                   f"{point['images_per_sec_h2d']:.0f} img/s; flagship "
-                   f"AP-parity numbers in BENCH_SWEEP.json)"),
+                   f"{point['images_per_sec_h2d']:.0f} img/s"
+                   f"{extra}; full operating-point table in "
+                   f"BENCH_SWEEP.json)"),
         "value": point["images_per_sec"],
         "unit": "images/sec/chip",
         "vs_baseline": round(point["images_per_sec"] / 2000.0, 4),
