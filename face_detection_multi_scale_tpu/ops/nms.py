@@ -173,44 +173,74 @@ def nms_keep_matrix(boxes: jnp.ndarray, scores: jnp.ndarray,
     return keep_idx, sel_valid
 
 
-def _gather_candidates(pred: jnp.ndarray, *, nc: int,
-                       conf_thres: float, k: int, agnostic: bool):
-    """One image: decoded rows -> top-k candidates sorted by conf."""
-    obj = pred[:, 4]
-    cls_conf = pred[:, 5:5 + nc] * obj[:, None]  # conf = obj * cls
-    conf = cls_conf.max(axis=1)
-    cls = cls_conf.argmax(axis=1).astype(pred.dtype)
+def _gather_candidates_planar(pred: jnp.ndarray, *, nc: int,
+                              conf_thres: float, k: int, agnostic: bool):
+    """Batched: decoded rows (bs, N, no) -> top-k candidates sorted by
+    conf, everything PLANAR.
+
+    TPU gather discipline (measured, see CLAUDE.md round-3 map): a
+    row-gather `pred[idx]` lowers to a serial dynamic-slice loop —
+    ~1.6 s/batch for (4096, 21)-row gathers at b128 — while a minor-dim
+    `take_along_axis` on a (bs, N) plane is vector-unit work. So every
+    candidate field is gathered per-PLANE, and the landmark block is
+    deferred entirely until after NMS (`_select_kept_planar` gathers it
+    for the final max_det keepers only, via one flattened
+    take_along_axis)."""
+    obj = pred[..., 4]
+    if nc == 1:
+        conf = pred[..., 5] * obj
+        cls = None  # all zeros
+    else:
+        cls_conf = pred[..., 5:5 + nc] * obj[..., None]
+        conf = cls_conf.max(axis=-1)
+        cls = cls_conf.argmax(axis=-1).astype(pred.dtype)
     # two-stage gate as in the reference: obj > thr then conf > thr
     gate = (obj > conf_thres) & (conf > conf_thres)
+    n_gated = gate.sum(axis=-1).astype(jnp.int32)
 
-    boxes = xywh2xyxy(pred[:, :4])
     masked_conf = jnp.where(gate, conf, NEG_INF)
     top_conf, top_idx = jax.lax.top_k(masked_conf, k)
-    top_boxes = boxes[top_idx]
-    top_cls = cls[top_idx]
-    extras = pred[top_idx, 5 + nc:]
-    offset = jnp.zeros_like(top_cls) if (agnostic or nc == 1) else top_cls
-    nms_boxes = top_boxes + (offset * MAX_WH)[:, None]
+    take = lambda p: jnp.take_along_axis(p, top_idx, axis=1)
+    cx, cy = take(pred[..., 0]), take(pred[..., 1])
+    w2, h2 = take(pred[..., 2]) / 2, take(pred[..., 3]) / 2
+    top_boxes = jnp.stack([cx - w2, cy - h2, cx + w2, cy + h2], axis=-1)
+    top_cls = jnp.zeros_like(top_conf) if cls is None else take(cls)
+    if agnostic or nc == 1:
+        nms_boxes = top_boxes
+    else:
+        nms_boxes = top_boxes + (top_cls * MAX_WH)[..., None]
     valid = top_conf > NEG_INF / 2
-    n_gated = gate.sum().astype(jnp.int32)
-    return top_boxes, top_conf, top_cls, extras, nms_boxes, valid, n_gated
+    return top_boxes, top_conf, top_cls, nms_boxes, valid, top_idx, n_gated
 
 
-def _select_kept(keep, boxes, conf, cls, extras, max_det):
-    """One image: first max_det kept candidates in score order."""
-    k = keep.shape[0]
+def _select_kept_planar(keep, boxes, conf, cls, top_idx, pred, *,
+                        nc: int, max_det: int) -> Detections:
+    """Batched: first max_det kept candidates in score order, landmark
+    channels gathered from `pred` for the keepers only (one flattened
+    minor-dim take_along_axis, never a row gather)."""
+    bs, k = keep.shape
     idx = jnp.arange(k)
-    pos = jnp.where(keep, idx, k)
+    pos = jnp.where(keep, idx[None, :], k)
     neg_top, sel = jax.lax.top_k(-pos, max_det)
     sel_valid = (-neg_top) < k
     sel = jnp.where(sel_valid, sel, 0)
-    return Detections(
-        boxes=boxes[sel],
-        scores=jnp.where(sel_valid, conf[sel], 0.0),
-        classes=cls[sel],
-        extras=extras[sel],
-        valid=sel_valid,
-    )
+    take = lambda p: jnp.take_along_axis(p, sel, axis=1)
+    fin_boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
+    fin_conf = jnp.where(sel_valid, take(conf), 0.0)
+    fin_cls = take(cls)
+    fin_src = take(top_idx)  # (bs, max_det) rows into pred
+
+    n_extra = pred.shape[-1] - (5 + nc)
+    if n_extra > 0:
+        flat = pred[..., 5 + nc:].reshape(bs, -1)  # (bs, N * E)
+        gidx = (fin_src[..., None] * n_extra
+                + jnp.arange(n_extra)).reshape(bs, max_det * n_extra)
+        extras = jnp.take_along_axis(flat, gidx, axis=1).reshape(
+            bs, max_det, n_extra)
+    else:
+        extras = jnp.zeros((bs, max_det, 0), pred.dtype)
+    return Detections(boxes=fin_boxes, scores=fin_conf, classes=fin_cls,
+                      extras=extras, valid=sel_valid)
 
 
 def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
@@ -236,11 +266,9 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
     K^2 HBM matrix at the high-recall eval operating point); "auto" picks
     pallas on TPU when K qualifies."""
     k = min(max_candidates, pred.shape[1])
-    gather = functools.partial(_gather_candidates, nc=nc,
-                               conf_thres=conf_thres, k=k,
-                               agnostic=agnostic)
-    boxes, conf, cls, extras, nms_boxes, valid, n_gated = \
-        jax.vmap(gather)(pred)
+    boxes, conf, cls, nms_boxes, valid, top_idx, n_gated = \
+        _gather_candidates_planar(pred, nc=nc, conf_thres=conf_thres,
+                                  k=k, agnostic=agnostic)
 
     if backend == "auto":
         on_tpu = jax.default_backend() not in ("cpu",)
@@ -249,7 +277,8 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
         from face_detection_multi_scale_tpu.ops.pallas_nms import (
             nms_keep_pallas)
         # candidates are already conf-sorted by top_k
-        keep = nms_keep_pallas(nms_boxes, valid, iou_thres)
+        keep = nms_keep_pallas(nms_boxes.astype(jnp.float32), valid,
+                               iou_thres)
     else:
         def keep_one(b, c):
             idx, v = nms_keep_matrix(b, c, iou_thres, b.shape[0])
@@ -258,8 +287,8 @@ def non_max_suppression(pred: jnp.ndarray, conf_thres: float = 0.25,
         keep = jax.vmap(keep_one)(nms_boxes,
                                   jnp.where(valid, conf, NEG_INF))
 
-    select = functools.partial(_select_kept, max_det=min(max_det, k))
-    dets = jax.vmap(select)(keep, boxes, conf, cls, extras)
+    dets = _select_kept_planar(keep, boxes, conf, cls, top_idx, pred,
+                               nc=nc, max_det=min(max_det, k))
     return dets._replace(n_gated=n_gated)
 
 
