@@ -87,53 +87,10 @@ def channel_shuffle(x, groups: int = 2):
     return x.reshape(b, h, w, c)
 
 
-class _DeferredConcatConv(nn.Module):
-    """conv over a DEFERRED channel concat: conv(concat(xs)) computed as
-    sum_i conv_i(x_i) with the SAME single kernel parameter sliced along
-    its input-channel dim, so the (large) concatenated activation is
-    never written to HBM — the dominant avoidable traffic in the
-    HBM-bound E-ELAN merges (see CLAUDE.md round-3 roofline). Partials
-    accumulate in f32 and round once, matching single-conv numerics to
-    float-noise. Parameter path/shape identical to nn.Conv's
-    ("conv", "kernel"), so checkpoint conversion is unchanged."""
-    features: int
-    kernel: Tuple[int, int]
-    strides: Tuple[int, int]
-    padding: Any
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, xs):
-        import jax
-
-        cin = sum(x.shape[-1] for x in xs)
-        kern = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (self.kernel[0], self.kernel[1], cin, self.features))
-        out = None
-        off = 0
-        for x in xs:
-            c = x.shape[-1]
-            k = jax.lax.slice_in_dim(kern, off, off + c, axis=2)
-            # same-dtype in/out (the conv VJP rejects mixed dtypes);
-            # the MXU still accumulates f32 internally, and the partial
-            # sums accumulate in f32 below, rounding once at the end
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k.astype(self.dtype),
-                window_strides=self.strides, padding=self.padding,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            y32 = y.astype(jnp.float32)
-            out = y32 if out is None else out + y32
-            off += c
-        return out.astype(self.dtype)
-
-
 class ConvBN(nn.Module):
     """conv2d(bias=False) + BatchNorm + activation == reference `Conv`.
 
     Submodules named `conv` and `bn` to mirror the torch state dict.
-    A list input is a deferred channel concat (the graph executor's
-    Concat->Conv fusion): the concatenated tensor is never materialized.
     """
     c2: int
     k: int = 1
@@ -152,15 +109,9 @@ class ConvBN(nn.Module):
             pads = [(pp, pp) for pp in self.p]
         else:
             pads = [(self.p, self.p)] * 2
-        if isinstance(x, (list, tuple)):
-            assert self.g == 1, "deferred concat requires ungrouped conv"
-            x = _DeferredConcatConv(
-                self.c2, tuple(k), (self.s, self.s), pads,
-                dtype=self.dtype, name="conv")(list(x))
-        else:
-            x = nn.Conv(self.c2, tuple(k), strides=(self.s, self.s),
-                        padding=pads, feature_group_count=self.g,
-                        use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.Conv(self.c2, tuple(k), strides=(self.s, self.s),
+                    padding=pads, feature_group_count=self.g,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
         return act_fn(self.act)(x)

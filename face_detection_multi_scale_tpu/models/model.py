@@ -23,34 +23,6 @@ from face_detection_multi_scale_tpu.models.spec import (
     HEAD_OPS, ModelSpec, Node)
 
 
-def _deferrable_concats(spec: ModelSpec) -> set:
-    """Concat nodes whose output can stay unmaterialized: the ONLY
-    consumer is the immediately-following ungrouped Conv (the E-ELAN /
-    neck merge pattern). For those, the graph passes the branch list to
-    ConvBN, which computes conv(concat(xs)) as sum of kernel-sliced
-    per-branch convs — identical parameters, no concat in HBM."""
-    consumers: dict = {}
-    for j, n in enumerate(spec.nodes):
-        fs = n.f if isinstance(n.f, (list, tuple)) else [n.f]
-        for f in fs:
-            src = j - 1 if f in (-1, j - 1) else f
-            consumers.setdefault(src, set()).add(j)
-    out = set()
-    for i, n in enumerate(spec.nodes):
-        if n.op != "Concat" or i + 1 >= len(spec.nodes):
-            continue
-        nxt = spec.nodes[i + 1]
-        if nxt.op != "Conv" or nxt.n_resolved != 1:
-            continue
-        g = (int(nxt.args[4]) if len(nxt.args) > 4
-             and not isinstance(nxt.args[4], str) else 1)
-        if g != 1:
-            continue
-        if consumers.get(i, set()) == {i + 1}:
-            out.add(i)
-    return out
-
-
 class YoloFace(nn.Module):
     """YOLOv7-face model over a resolved ModelSpec.
 
@@ -171,7 +143,6 @@ class YoloFace(nn.Module):
         spec = self.spec.resolve()
         saved: List[Optional[jnp.ndarray]] = []
         save = set(spec.save)
-        deferred_concats = _deferrable_concats(spec)
         for i, node in enumerate(spec.nodes):
             # gather inputs
             if isinstance(node.f, int):
@@ -189,15 +160,7 @@ class YoloFace(nn.Module):
                     return raws
                 return [reshape_level(r, spec.na, spec.no) for r in raws]
             if op == "Concat":
-                # Concat -> Conv fusion: when the concat's only consumer
-                # is the next Conv, pass the branch list through and let
-                # ConvBN compute sum_i conv_i(x_i) with a sliced kernel —
-                # the concatenated tensor never hits HBM (the forward is
-                # HBM-bound; this removes its dominant avoidable traffic)
-                if i in deferred_concats:
-                    x = list(inp)
-                else:
-                    x = jnp.concatenate(inp, axis=-1)
+                x = jnp.concatenate(inp, axis=-1)
             elif op == "ADD":
                 # torch.add(x1, x2, alpha): the lite cfgs pass alpha=1
                 # through parse_model's generic ADD(*args) construction
