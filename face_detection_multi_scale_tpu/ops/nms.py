@@ -232,11 +232,12 @@ def _select_kept_planar(keep, boxes, conf, cls, top_idx, pred, *,
 
     n_extra = pred.shape[-1] - (5 + nc)
     if n_extra > 0:
-        flat = pred[..., 5 + nc:].reshape(bs, -1)  # (bs, N * E)
-        gidx = (fin_src[..., None] * n_extra
-                + jnp.arange(n_extra)).reshape(bs, max_det * n_extra)
-        extras = jnp.take_along_axis(flat, gidx, axis=1).reshape(
-            bs, max_det, n_extra)
+        # per-channel minor-dim gathers measured fastest on TPU (vs one
+        # flat (bs, N*E) gather or gathering at the K stage): tiny
+        # serving 2200 vs 2027 vs 1643 img/s, w6 eval 822 vs 790 vs 501
+        extras = jnp.stack(
+            [jnp.take_along_axis(pred[..., 5 + nc + c], fin_src, axis=1)
+             for c in range(n_extra)], axis=-1)
     else:
         extras = jnp.zeros((bs, max_det, 0), pred.dtype)
     return Detections(boxes=fin_boxes, scores=fin_conf, classes=fin_cls,
