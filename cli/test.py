@@ -80,7 +80,10 @@ def run_speed(args, img_size):
                                     args.iou_thres, nc=spec.nc,
                                     nkpt=spec.nkpt, max_candidates=2048,
                                     max_det=300)
-        return d.boxes.sum()
+        # sum EVERY field so nothing (landmarks!) is dead-coded out of
+        # the measured executable
+        return (d.boxes.sum() + d.scores.sum() + d.classes.sum()
+                + d.extras.astype(np.float32).sum() + d.valid.sum())
 
     b = args.batch_size
     batches = [np.random.default_rng(i).integers(
