@@ -163,17 +163,19 @@ def run_sweep(smoke: bool) -> list:
                ("yolov7-lite-t", 128, 2, 2, 2, "float32", 0.01, 256)]
     else:
         pts = [
-            # serving point (headline): small model, large batch
+            # small serving model, large batch
             ("yolov7-tiny-face", 640, 128, 30, 4, "bfloat16", 0.25, 1024),
             # serving point under eval-density postprocess load
             ("yolov7-tiny-face", 640, 128, 15, 4, "bfloat16", 0.01, 4096),
-            # AP-parity flagship at the TTA base scale. Batch scan on
-            # this chip: b32 754, b64 866, b128 1047, b256 1046 img/s —
-            # saturates at 128
+            # AP-parity flagship (the bench.py HEADLINE) at the TTA base
+            # scale. Round-2 batch scan: b32 754, b64 866, b128 1047,
+            # b256 1046 img/s — saturates at 128 (landmark-free
+            # protocol; round-3 numbers include the landmark gather)
             ("yolov7-w6-face", 640, 128, 10, 3, "bfloat16", 0.25, 1024),
             ("yolov7-w6-face", 640, 128, 8, 3, "bfloat16", 0.01, 4096),
-            # flagship at its P6-native resolution (b4 100, b8 172,
-            # b16 110, b32 119 — 8 is the sweet spot)
+            # flagship at its P6-native resolution (r2 scan: b4 100,
+            # b8 172, b16 110, b32 119 — 8 is the sweet spot; b16+
+            # regress from HBM capacity, see CLAUDE.md)
             ("yolov7-w6-face", 1280, 8, 10, 4, "bfloat16", 0.25, 1024),
         ]
     rows = []
