@@ -107,6 +107,36 @@ class FaceDetector:
         # pixel (see infer/device_preprocess.py)
         self.use_device_preprocess = use_device_preprocess
         self._exec: Dict[Tuple, object] = {}
+        # candidate-truncation telemetry: count of images whose gated
+        # candidates exceeded max_candidates (the fixed-capacity accuracy
+        # knob; the reference keeps every gated box up to 30000,
+        # utils/general.py:518-524) — see truncation_report()
+        self._trunc_images = 0
+        self._trunc_total = 0
+        self._trunc_max_gated = 0
+        self._trunc_dropped = 0
+
+    def _record_truncation(self, dets) -> None:
+        if dets.n_gated is None:
+            return
+        n = np.asarray(dets.n_gated).reshape(-1)
+        over = n > self.max_candidates
+        self._trunc_images += int(over.sum())
+        self._trunc_total += int(n.size)
+        self._trunc_max_gated = max(self._trunc_max_gated, int(n.max()))
+        self._trunc_dropped += int(
+            np.clip(n - self.max_candidates, 0, None).sum())
+
+    def truncation_report(self) -> Dict[str, int]:
+        """Accumulated candidate-truncation stats over every network call
+        this detector has served; truncated_images > 0 means crowded
+        inputs exceeded `max_candidates` and recall was silently capped —
+        raise max_candidates to recover it."""
+        return {"images": self._trunc_total,
+                "truncated_images": self._trunc_images,
+                "max_gated": self._trunc_max_gated,
+                "max_candidates": int(self.max_candidates),
+                "dropped_total": self._trunc_dropped}
 
     # ------------------------------------------------------------------
     # compiled executables
@@ -182,7 +212,9 @@ class FaceDetector:
         the padded tail is dropped from the result."""
         bs, h, w, _ = images_u8.shape
         if self.mesh is None:
-            return self._executable(h, w)(self.variables, images_u8)
+            dets = self._executable(h, w)(self.variables, images_u8)
+            self._record_truncation(dets)
+            return dets
 
         from face_detection_multi_scale_tpu.parallel.mesh import (
             batch_sharding)
@@ -197,6 +229,7 @@ class FaceDetector:
             dets = self._executable(h, w)(self.variables, sharded)
         if pad:
             dets = NMS.Detections(*(jax.device_get(x)[:bs] for x in dets))
+        self._record_truncation(dets)
         return dets
 
     # ------------------------------------------------------------------
@@ -252,6 +285,7 @@ class FaceDetector:
             run, geom = self._executable_dev(img0_shape[:2], img_size,
                                              auto=True)
             dets = run(self.variables, raw)
+            self._record_truncation(dets)
             inp_hw = geom.out_hw
         else:
             inp = self.preprocess(img0, img_size)
@@ -365,6 +399,7 @@ class FaceDetector:
             run, geom = self._executable_dev(shapes[0][:2], img_size,
                                              auto=False)
             dets = run(self.variables, jnp.asarray(np.stack(loaded)))
+            self._record_truncation(dets)
         else:
             inputs = []
             for img0 in loaded:

@@ -314,6 +314,13 @@ class ProductionPipeline:
             if (i + 1) % progress_interval == 0:
                 rate = (i + 1) / (time.time() - t0)
                 print(f"[{i + 1}/{len(items)}] {rate:.2f} items/s")
+        trunc = getattr(self.detector, "truncation_report", lambda: None)()
+        if trunc and trunc["truncated_images"]:
+            print(f"WARNING: candidate truncation on "
+                  f"{trunc['truncated_images']}/{trunc['images']} frames "
+                  f"(max gated {trunc['max_gated']} > cap "
+                  f"{trunc['max_candidates']}, {trunc['dropped_total']} "
+                  f"dropped) — raise max_candidates to recover recall")
         return results
 
 

@@ -188,3 +188,21 @@ def test_truncation_telemetry():
     assert stats["dropped_total"] == 40 - k
     clean = N.truncation_stats(dets.n_gated, 64)
     assert clean["truncated_images"] == 0
+
+
+def test_detector_truncation_report():
+    """FaceDetector accumulates truncation telemetry across engine calls
+    (the production surface of n_gated)."""
+    from face_detection_multi_scale_tpu.infer.detector import FaceDetector
+
+    det = FaceDetector("yolov7-lite-t", img_sizes=(64,),
+                       conf_thres=0.0001, max_candidates=64, max_det=16)
+    img = np.zeros((1, 64, 64, 3), np.uint8)
+    det.run_network(img)
+    det.run_network(img)
+    rep = det.truncation_report()
+    assert rep["images"] == 2
+    assert rep["max_candidates"] == 64
+    assert rep["max_gated"] > 0
+    # at conf 1e-4 on random-init weights, every cell clears the gate
+    assert rep["truncated_images"] == 2 and rep["dropped_total"] > 0
