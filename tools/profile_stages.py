@@ -72,12 +72,11 @@ def main():
     def stage_topk(v, x):
         pred = decode(fwd(v, x), spec)
         k = min(args.max_candidates, pred.shape[1])
-        import functools
-        gather = functools.partial(
-            NMS._gather_candidates, nc=spec.nc,
-            conf_thres=args.conf_thres, k=k, agnostic=False)
-        boxes, conf, cls, extras, nms_boxes, valid = jax.vmap(gather)(pred)
-        return (boxes.sum() + conf.sum() + extras.sum()
+        boxes, conf, cls, nms_boxes, valid, top_idx, n_gated = \
+            NMS._gather_candidates_planar(
+                pred, nc=spec.nc, conf_thres=args.conf_thres, k=k,
+                agnostic=False)
+        return (boxes.sum() + conf.sum()
                 + nms_boxes.sum()).astype(jnp.float32)
 
     def stage_nms(v, x, backend="auto"):
