@@ -79,6 +79,12 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0,
                     help="stop stream sources after N frames per stream "
                          "(0 = run until the stream ends)")
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="fuse resize+pad+normalize into the network "
+                         "executable (uint8 raw frames are the only H2D "
+                         "transfer; best for video/webcam where frames "
+                         "share one shape; numerics differ from cv2 by "
+                         "<=2/255 per pixel)")
     args = ap.parse_args(argv)
 
     import cv2
@@ -98,6 +104,7 @@ def main(argv=None):
                        img_sizes=(args.img_size,),
                        conf_thres=args.conf_thres,
                        iou_thres=args.iou_thres,
+                       use_device_preprocess=args.device_preprocess,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
 
