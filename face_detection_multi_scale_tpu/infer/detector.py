@@ -54,7 +54,8 @@ class FaceDetector:
                  dtype=jnp.float32, max_det: int = 300,
                  max_candidates: int = 4096, seed: int = 0,
                  mesh=None, fuse: bool = True,
-                 use_device_preprocess: bool = False):
+                 use_device_preprocess: bool = False,
+                 fuse_elan: bool = False):
         if isinstance(model, str):
             spec = zoo.get_spec(model)  # pinned, verified strides
         else:
@@ -106,6 +107,14 @@ class FaceDetector:
         # every pyramid scale); numerics differ from cv2 by <=2/255 per
         # pixel (see infer/device_preprocess.py)
         self.use_device_preprocess = use_device_preprocess
+        # execute E-ELAN groups as single Pallas kernels (VMEM-resident
+        # intermediates, models/fused.py); serving-only HBM-byte saver
+        self.fuse_elan = fuse_elan
+        self._elan_blocks = None
+        if fuse_elan:
+            from face_detection_multi_scale_tpu.models.fused import (
+                find_elan_blocks)
+            self._elan_blocks = find_elan_blocks(self.spec)
         self._exec: Dict[Tuple, object] = {}
         # candidate-truncation telemetry: count of images whose gated
         # candidates exceeded max_candidates (the fixed-capacity accuracy
@@ -142,6 +151,18 @@ class FaceDetector:
     # compiled executables
     # ------------------------------------------------------------------
 
+    def _forward(self, variables, x):
+        """Network forward used by every executable: the flax module
+        graph, or the fused-ELAN serving executor (models/fused.py —
+        E-ELAN groups as single VMEM-resident Pallas kernels) when
+        `fuse_elan` is set."""
+        if self.fuse_elan and self._elan_blocks:
+            from face_detection_multi_scale_tpu.models.fused import (
+                fused_apply)
+            return fused_apply(self.spec, variables, x,
+                               blocks=self._elan_blocks, dtype=self.dtype)
+        return self.model.apply(variables, x, train=False)
+
     def _executable(self, h: int, w: int):
         """One fused jit per static (h, w): uint8 NHWC batch -> Detections."""
         key = (h, w)
@@ -151,10 +172,12 @@ class FaceDetector:
             max_cand, max_det = self.max_candidates, self.max_det
             dtype = self.dtype
 
+            forward = self._forward
+
             @jax.jit
             def run(variables, images_u8):
                 x = images_u8.astype(dtype) / 255.0
-                raws = model.apply(variables, x, train=False)
+                raws = forward(variables, x)
                 preds = decode(raws, spec)
                 return NMS.non_max_suppression(
                     preds, conf, iou, nc=spec.nc, nkpt=spec.nkpt,
@@ -192,10 +215,12 @@ class FaceDetector:
                 def pre(raw):
                     return DP.device_letterbox(raw, geom, dtype=dtype)
 
+            forward = self._forward
+
             @jax.jit
             def run(variables, raw_u8):
                 x = pre(raw_u8)
-                raws = model.apply(variables, x, train=False)
+                raws = forward(variables, x)
                 preds = decode(raws, spec)
                 return NMS.non_max_suppression(
                     preds, conf, iou, nc=spec.nc, nkpt=spec.nkpt,

@@ -23,6 +23,162 @@ from face_detection_multi_scale_tpu.models.spec import (
     HEAD_OPS, ModelSpec, Node)
 
 
+def resolve_act(spec: ModelSpec, node_args, default=True):
+    """Effective activation for a node: a trailing string activation arg
+    (tiny cfg rows) or the model-level override (models/yolo.py:502-504)."""
+    if node_args and isinstance(node_args[-1], str) and \
+            node_args[-1] in ("leaky", "relu", "silu", "none"):
+        return node_args[-1]
+    if spec.act is not None:
+        return spec.act
+    return default
+
+
+def build_node_block(spec: ModelSpec, node: Node, dtype, name=None):
+    """Instantiate the flax module for one parametric node. With
+    name=None the module can be applied standalone against the node's
+    own variables subtree (models/fused.py does this)."""
+    op, args, d = node.op, node.args, dtype
+    c1, c2 = node.c1, node.c2
+    act = functools.partial(resolve_act, spec)
+    if op == "Conv":
+        k = args[1] if len(args) > 1 else 1
+        k = tuple(int(v) for v in k) if isinstance(k, (list, tuple)) \
+            else int(k)
+        s = int(args[2]) if len(args) > 2 else 1
+        p = args[3] if len(args) > 3 else None
+        g = int(args[4]) if len(args) > 4 and not isinstance(args[4], str) else 1
+        return L.ConvBN(c2, k, s, p=p, g=g, act=act(args),
+                        dtype=d, name=name)
+    if op == "DWConv":
+        k = int(args[1]) if len(args) > 1 else 1
+        s = int(args[2]) if len(args) > 2 else 1
+        return L.DWConvBN(c1, c2, k, s, act=act(args), dtype=d,
+                          name=name)
+    if op == "SPPF":
+        k = int(args[1]) if len(args) > 1 else 5
+        return L.SPPF(c1, c2, k, dtype=d, name=name)
+    if op == "SPPCSPC":
+        return L.SPPCSPC(c2, dtype=d, name=name)
+    if op == "SPPFCSPC":
+        return L.SPPFCSPC(c2, dtype=d, name=name)
+    if op == "SPP":
+        k = tuple(args[1]) if len(args) > 1 else (3, 3, 3)
+        return L.SPP(c1, c2, k, dtype=d, name=name)
+    if op == "StemBlock":
+        k = int(args[1]) if len(args) > 1 else 3
+        s = int(args[2]) if len(args) > 2 else 2
+        return L.StemBlock(c2, k, s, dtype=d, name=name)
+    if op == "Shuffle_Block":
+        return L.ShuffleBlock(c1, c2, int(args[1]), dtype=d, name=name)
+    if op == "DWConvblock":
+        return L.DWConvblock(c1, c2, int(args[1]), int(args[2]),
+                             dtype=d, name=name)
+    if op == "conv_bn_relu_maxpool":
+        return L.ConvBnReluMaxpool(c2, dtype=d, name=name)
+    if op == "Bottleneck":
+        sc = bool(args[1]) if len(args) > 1 else True
+        return L.Bottleneck(c1, c2, sc, act=act(args), dtype=d,
+                            name=name)
+    if op == "C3":
+        sc = bool(args[1]) if len(args) > 1 else True
+        return L.C3(c1, c2, node.repeats, sc, act=act(args),
+                    dtype=d, name=name)
+    if op == "BottleneckCSP":
+        sc = bool(args[1]) if len(args) > 1 else True
+        return L.BottleneckCSP(c1, c2, node.repeats, sc, dtype=d,
+                               name=name)
+    if op == "Focus":
+        k = int(args[1]) if len(args) > 1 else 1
+        return L.Focus(c2, k, act=act(args), dtype=d, name=name)
+    if op == "ConvFocus":
+        k = int(args[1]) if len(args) > 1 else 1
+        return LX.ConvFocus(c1, c2, k, act=act(args), dtype=d,
+                            name=name)
+    if op == "CrossConv":
+        k = int(args[1]) if len(args) > 1 else 3
+        st = int(args[2]) if len(args) > 2 else 1
+        return LX.CrossConv(c1, c2, k, st, dtype=d, name=name)
+    if op == "GhostConv":
+        k = int(args[1]) if len(args) > 1 else 1
+        st = int(args[2]) if len(args) > 2 else 1
+        return LX.GhostConv(c1, c2, k, st, act=act(args),
+                            dtype=d, name=name)
+    if op == "GhostBottleneck":
+        k = int(args[1]) if len(args) > 1 else 3
+        st = int(args[2]) if len(args) > 2 else 1
+        return LX.GhostBottleneck(c1, c2, k, st, dtype=d, name=name)
+    if op == "MixConv2d":
+        k = tuple(args[1]) if len(args) > 1 else (1, 3)
+        st = int(args[2]) if len(args) > 2 else 1
+        return LX.MixConv2d(c1, c2, k, st, dtype=d, name=name)
+    if op == "C3TR":
+        sc = bool(args[1]) if len(args) > 1 else True
+        return LX.C3TR(c1, c2, node.repeats, dtype=d, name=name)
+    if op == "BottleneckCSPF":
+        sc = bool(args[1]) if len(args) > 1 else True
+        return LX.BottleneckCSPF(c1, c2, node.repeats, sc, dtype=d,
+                                 name=name)
+    if op == "BottleneckCSP2":
+        return LX.BottleneckCSP2(c1, c2, node.repeats, dtype=d,
+                                 name=name)
+    if op == "SPPCSP":
+        return LX.SPPCSP(c1, c2, dtype=d, name=name)
+    raise NotImplementedError(f"op {node.op!r}")
+
+
+# ops with no parameters: executed by a shared dispatch so the flax
+# module graph (YoloFace) and the serving executor (models/fused.py)
+# cannot diverge
+STATELESS_OPS = {"Concat", "ADD", "Upsample", "ZeroPad2d", "MaxPool2d",
+                 "MP", "SP", "SPF", "ReOrg", "Contract", "Expand"}
+
+
+def apply_stateless_op(op: str, node: Node, inp):
+    """Execute one parameter-free graph op. `inp` is the routed input
+    (a list for multi-input ops)."""
+    if op == "Concat":
+        return jnp.concatenate(inp, axis=-1)
+    if op == "ADD":
+        # torch.add(x1, x2, alpha): the lite cfgs pass alpha=1
+        # through parse_model's generic ADD(*args) construction
+        # (models/common.py:473-481, models/yolo.py:509,527 —
+        # the class default 0.5 is never used by any face cfg)
+        alpha = float(node.args[0]) if node.args else 0.5
+        return inp[0] + alpha * inp[1]
+    if op == "Upsample":
+        return L.upsample2x_nearest(inp)
+    if op == "ZeroPad2d":
+        # torch padding order (left, right, top, bottom)
+        pl, pr, pt, pb = (int(v) for v in node.args[0])
+        return jnp.pad(inp, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    if op == "MaxPool2d":
+        k = int(node.args[0])
+        st = int(node.args[1]) if len(node.args) > 1 else k
+        pd = int(node.args[2]) if len(node.args) > 2 else 0
+        return L.max_pool(inp, k, st, pd)
+    if op == "MP":
+        k = int(node.args[0]) if node.args else 2
+        return L.max_pool(inp, k, k, 0)
+    if op == "SP":
+        k = int(node.args[0]) if node.args else 3
+        s = int(node.args[1]) if len(node.args) > 1 else 1
+        return L.max_pool(inp, k, s, k // 2)
+    if op == "SPF":
+        k = int(node.args[0]) if node.args else 3
+        x = inp
+        for _ in range((k - 1) // 2):
+            x = L.max_pool(x, 3, 1, 1)
+        return x
+    if op == "ReOrg":
+        return L.reorg(inp)
+    if op == "Contract":
+        return LX.contract(inp, int(node.args[0]) if node.args else 2)
+    if op == "Expand":
+        return LX.expand(inp, int(node.args[0]) if node.args else 2)
+    raise NotImplementedError(f"stateless op {op!r}")
+
+
 class YoloFace(nn.Module):
     """YOLOv7-face model over a resolved ModelSpec.
 
@@ -34,104 +190,9 @@ class YoloFace(nn.Module):
     spec: ModelSpec
     dtype: Any = jnp.float32
 
-    def _act(self, node_args, default=True):
-        # a trailing string activation arg (from tiny cfg rows) or the
-        # model-level override (models/yolo.py:502-504)
-        if node_args and isinstance(node_args[-1], str) and \
-                node_args[-1] in ("leaky", "relu", "silu", "none"):
-            return node_args[-1]
-        if self.spec.act is not None:
-            return self.spec.act
-        return default
-
     def _build_block(self, node: Node, name: str):
         """Instantiate the flax module for one parametric node."""
-        op, args, d = node.op, node.args, self.dtype
-        c1, c2 = node.c1, node.c2
-        if op == "Conv":
-            k = args[1] if len(args) > 1 else 1
-            k = tuple(int(v) for v in k) if isinstance(k, (list, tuple)) \
-                else int(k)
-            s = int(args[2]) if len(args) > 2 else 1
-            p = args[3] if len(args) > 3 else None
-            g = int(args[4]) if len(args) > 4 and not isinstance(args[4], str) else 1
-            return L.ConvBN(c2, k, s, p=p, g=g, act=self._act(args),
-                            dtype=d, name=name)
-        if op == "DWConv":
-            k = int(args[1]) if len(args) > 1 else 1
-            s = int(args[2]) if len(args) > 2 else 1
-            return L.DWConvBN(c1, c2, k, s, act=self._act(args), dtype=d,
-                              name=name)
-        if op == "SPPF":
-            k = int(args[1]) if len(args) > 1 else 5
-            return L.SPPF(c1, c2, k, dtype=d, name=name)
-        if op == "SPPCSPC":
-            return L.SPPCSPC(c2, dtype=d, name=name)
-        if op == "SPPFCSPC":
-            return L.SPPFCSPC(c2, dtype=d, name=name)
-        if op == "SPP":
-            k = tuple(args[1]) if len(args) > 1 else (3, 3, 3)
-            return L.SPP(c1, c2, k, dtype=d, name=name)
-        if op == "StemBlock":
-            k = int(args[1]) if len(args) > 1 else 3
-            s = int(args[2]) if len(args) > 2 else 2
-            return L.StemBlock(c2, k, s, dtype=d, name=name)
-        if op == "Shuffle_Block":
-            return L.ShuffleBlock(c1, c2, int(args[1]), dtype=d, name=name)
-        if op == "DWConvblock":
-            return L.DWConvblock(c1, c2, int(args[1]), int(args[2]),
-                                 dtype=d, name=name)
-        if op == "conv_bn_relu_maxpool":
-            return L.ConvBnReluMaxpool(c2, dtype=d, name=name)
-        if op == "Bottleneck":
-            sc = bool(args[1]) if len(args) > 1 else True
-            return L.Bottleneck(c1, c2, sc, act=self._act(args), dtype=d,
-                                name=name)
-        if op == "C3":
-            sc = bool(args[1]) if len(args) > 1 else True
-            return L.C3(c1, c2, node.repeats, sc, act=self._act(args),
-                        dtype=d, name=name)
-        if op == "BottleneckCSP":
-            sc = bool(args[1]) if len(args) > 1 else True
-            return L.BottleneckCSP(c1, c2, node.repeats, sc, dtype=d,
-                                   name=name)
-        if op == "Focus":
-            k = int(args[1]) if len(args) > 1 else 1
-            return L.Focus(c2, k, act=self._act(args), dtype=d, name=name)
-        if op == "ConvFocus":
-            k = int(args[1]) if len(args) > 1 else 1
-            return LX.ConvFocus(c1, c2, k, act=self._act(args), dtype=d,
-                                name=name)
-        if op == "CrossConv":
-            k = int(args[1]) if len(args) > 1 else 3
-            st = int(args[2]) if len(args) > 2 else 1
-            return LX.CrossConv(c1, c2, k, st, dtype=d, name=name)
-        if op == "GhostConv":
-            k = int(args[1]) if len(args) > 1 else 1
-            st = int(args[2]) if len(args) > 2 else 1
-            return LX.GhostConv(c1, c2, k, st, act=self._act(args),
-                                dtype=d, name=name)
-        if op == "GhostBottleneck":
-            k = int(args[1]) if len(args) > 1 else 3
-            st = int(args[2]) if len(args) > 2 else 1
-            return LX.GhostBottleneck(c1, c2, k, st, dtype=d, name=name)
-        if op == "MixConv2d":
-            k = tuple(args[1]) if len(args) > 1 else (1, 3)
-            st = int(args[2]) if len(args) > 2 else 1
-            return LX.MixConv2d(c1, c2, k, st, dtype=d, name=name)
-        if op == "C3TR":
-            sc = bool(args[1]) if len(args) > 1 else True
-            return LX.C3TR(c1, c2, node.repeats, dtype=d, name=name)
-        if op == "BottleneckCSPF":
-            sc = bool(args[1]) if len(args) > 1 else True
-            return LX.BottleneckCSPF(c1, c2, node.repeats, sc, dtype=d,
-                                     name=name)
-        if op == "BottleneckCSP2":
-            return LX.BottleneckCSP2(c1, c2, node.repeats, dtype=d,
-                                     name=name)
-        if op == "SPPCSP":
-            return LX.SPPCSP(c1, c2, dtype=d, name=name)
-        raise NotImplementedError(f"op {node.op!r}")
+        return build_node_block(self.spec, node, self.dtype, name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -159,44 +220,8 @@ class YoloFace(nn.Module):
                 if not reshape_heads:
                     return raws
                 return [reshape_level(r, spec.na, spec.no) for r in raws]
-            if op == "Concat":
-                x = jnp.concatenate(inp, axis=-1)
-            elif op == "ADD":
-                # torch.add(x1, x2, alpha): the lite cfgs pass alpha=1
-                # through parse_model's generic ADD(*args) construction
-                # (models/common.py:473-481, models/yolo.py:509,527 —
-                # the class default 0.5 is never used by any face cfg)
-                alpha = float(node.args[0]) if node.args else 0.5
-                x = inp[0] + alpha * inp[1]
-            elif op == "Upsample":
-                x = L.upsample2x_nearest(inp)
-            elif op == "ZeroPad2d":
-                # torch padding order (left, right, top, bottom)
-                pl, pr, pt, pb = (int(v) for v in node.args[0])
-                x = jnp.pad(inp, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
-            elif op == "MaxPool2d":
-                k = int(node.args[0])
-                st = int(node.args[1]) if len(node.args) > 1 else k
-                pd = int(node.args[2]) if len(node.args) > 2 else 0
-                x = L.max_pool(inp, k, st, pd)
-            elif op == "MP":
-                k = int(node.args[0]) if node.args else 2
-                x = L.max_pool(inp, k, k, 0)
-            elif op == "SP":
-                k = int(node.args[0]) if node.args else 3
-                s = int(node.args[1]) if len(node.args) > 1 else 1
-                x = L.max_pool(inp, k, s, k // 2)
-            elif op == "SPF":
-                k = int(node.args[0]) if node.args else 3
-                x = inp
-                for _ in range((k - 1) // 2):
-                    x = L.max_pool(x, 3, 1, 1)
-            elif op == "ReOrg":
-                x = L.reorg(inp)
-            elif op == "Contract":
-                x = LX.contract(inp, int(node.args[0]) if node.args else 2)
-            elif op == "Expand":
-                x = LX.expand(inp, int(node.args[0]) if node.args else 2)
+            if op in STATELESS_OPS:
+                x = apply_stateless_op(op, node, inp)
             elif op == "Sum":
                 x = LX.Sum(len(node.f),
                            bool(node.args[1]) if len(node.args) > 1

@@ -1,0 +1,268 @@
+"""Pallas TPU kernel: one fused E-ELAN block, strip-resident in VMEM.
+
+The YOLOv7 E-ELAN group (reference cfg/yolov7-w6.yaml rows 15-24 and the
+head groups; each row a `Conv` = conv+BN+act, models/common.py:85-105) is
+
+    a  = act(1x1(x))                 # cv "route" branch
+    b  = act(1x1(x))                 # chain input
+    y1 = act(3x3(b)), ... yn = act(3x3(y_{n-1}))
+    out = act(1x1(concat(members)))  # members ⊆ {a, b, y1..yn}
+
+Executed conv-by-conv, XLA writes every intermediate to HBM and reads it
+back (PERF.md: ELAN groups carry ~65% of w6's activation traffic, and
+the concat lever is already taken by XLA — tools/byte_census.py).  This
+kernel computes the WHOLE group per (batch, row-strip) grid cell: the
+input strip is DMA'd from HBM once with a 2*n_chain-pixel halo, every
+intermediate lives only in VMEM, and only the transition conv's output
+is written back.  HBM traffic for the group drops from ~10 tensors to
+read-x + write-out.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * 3x3 convs are 9 shifted (R*C, K) @ (K, N) MXU matmuls accumulated in
+    f32 — K = N = chain width, full MXU tiles for widths >= 128.
+  * SAME zero-padding of every *intermediate* conv is reproduced by
+    masking each intermediate to zero outside the true image domain
+    (halo positions beyond the border would otherwise hold act(bias)).
+  * Strips overlap by the halo, which plain BlockSpec index maps cannot
+    express, so the (pre-padded) input stays in HBM (`pltpu.ANY`) and
+    each cell issues its own `make_async_copy`.  Strip DMA is ~2 µs vs
+    ~40 µs of matmul per cell, so no double buffering is needed.
+  * BN is consumed in folded scale/bias form (models/fuse.py semantics):
+    callers pass per-conv (kernel*, bias) with the BN scale already
+    multiplied into the kernel.  The kernel applies act(dot + bias).
+  * No `dynamic_update_slice`, no lane-dim offsets, no bool carries —
+    the Mosaic limits recorded in CLAUDE.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM working-set budget for feasibility checks (bytes). v5e has ~16 MB
+# per core; leave headroom for Mosaic's own buffers and the out block.
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
+@dataclasses.dataclass(frozen=True)
+class ElanShape:
+    """Static geometry of one fused ELAN group."""
+    cin: int              # input channels
+    ccv: int              # width of the two 1x1 branches (a, b)
+    cch: int              # width of the 3x3 chain convs
+    cout: int             # transition conv output channels
+    n_chain: int          # number of 3x3 convs in the chain
+    members: Tuple[str, ...]  # concat order; entries in {a, b, y1..yn}
+    act: str = "silu"     # activation of every conv in the group
+
+    @property
+    def halo(self) -> int:
+        return self.n_chain
+
+    def member_width(self, m: str) -> int:
+        return self.ccv if m in ("a", "b") else self.cch
+
+    @property
+    def concat_width(self) -> int:
+        return sum(self.member_width(m) for m in self.members)
+
+
+def _act_fn(name: str):
+    if name == "silu":
+        return jax.nn.silu
+    if name == "leaky":
+        return lambda v: jax.nn.leaky_relu(v, negative_slope=0.1)
+    if name == "relu":
+        return jax.nn.relu
+    raise ValueError(f"fused ELAN: unsupported activation {name!r}")
+
+
+def strip_footprint(shape: ElanShape, th: int, w: int, itemsize: int) -> int:
+    """Approximate VMEM bytes for one grid cell at strip height `th`."""
+    p = shape.halo
+    a, bw = th + 2 * p, w + 2 * p
+    total = 2 * a * bw * shape.cin * itemsize            # x strip (+copy slack)
+    total += a * bw * shape.ccv * itemsize               # b branch (ext)
+    for k in range(1, shape.n_chain + 1):
+        total += (a - 2 * k) * (bw - 2 * k) * shape.cch * itemsize
+    total += th * w * shape.ccv * itemsize               # a branch (center)
+    total += th * w * shape.cout * 4                     # f32 accumulator
+    # weights resident in VMEM
+    total += (2 * shape.cin * shape.ccv
+              + 9 * shape.ccv * shape.cch
+              + 9 * (shape.n_chain - 1) * shape.cch * shape.cch
+              + shape.concat_width * shape.cout) * itemsize
+    return total
+
+
+def choose_strip_height(shape: ElanShape, h: int, w: int,
+                        itemsize: int) -> int:
+    """Largest divisor of `h` whose working set fits the VMEM budget.
+    Returns 0 if none fits (caller should leave the block unfused)."""
+    for th in sorted({d for d in range(1, h + 1) if h % d == 0
+                      and d in (h, 80, 64, 48, 40, 32, 20, 16, 10, 8, 5, 4)},
+                     reverse=True):
+        if strip_footprint(shape, th, w, itemsize) <= VMEM_BUDGET:
+            return th
+    return 0
+
+
+def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int):
+    ns = shape
+    p = ns.halo
+    n_in = 5 + 2 * ns.n_chain + 2
+    x_hbm, wa, ba, wb, bb = refs[:5]
+    chain = [(refs[5 + 2 * k], refs[6 + 2 * k]) for k in range(ns.n_chain)]
+    wt, bt = refs[5 + 2 * ns.n_chain], refs[6 + 2 * ns.n_chain]
+    out_ref = refs[n_in]
+    xs_ref, sem = refs[n_in + 1], refs[n_in + 2]
+
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    act = _act_fn(ns.act)
+
+    # halo'd strip: rows [si*th, si*th + th + 2p) of the padded input
+    dma = pltpu.make_async_copy(
+        x_hbm.at[bi, pl.ds(si * th, th + 2 * p)], xs_ref, sem)
+    dma.start()
+    dma.wait()
+
+    def mm(arr, wref_or_w):
+        wmat = wref_or_w[...] if hasattr(wref_or_w, "at") else wref_or_w
+        return jax.lax.dot_general(
+            arr, wmat, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def bias_act(acc, bref):
+        n = acc.shape[-1]
+        return act(acc + bref[...].reshape(1, 1, n))
+
+    def mask_zero(arr, q):
+        # arr[r, c] holds image row si*th + r - q, col c - q; zero the
+        # out-of-domain ring so downstream taps see SAME-pad zeros
+        aq, bq, _ = arr.shape
+        rid = jax.lax.broadcasted_iota(jnp.int32, (aq, bq, 1), 0)
+        cid = jax.lax.broadcasted_iota(jnp.int32, (aq, bq, 1), 1)
+        grow = rid + (si * th - q)
+        ok = (grow >= 0) & (grow < h) & (cid >= q) & (cid < q + w)
+        return jnp.where(ok, arr, jnp.zeros_like(arr))
+
+    x = xs_ref[...]
+    dt = x.dtype
+
+    # chain input branch "b": 1x1 over the full ext strip
+    yb = mask_zero(bias_act(mm(x, wb), bb), p).astype(dt)
+
+    # the 3x3 chain, shrinking the halo by 1 per conv
+    ys = []
+    cur, q = yb, p
+    for k in range(ns.n_chain):
+        wk, bk = chain[k]
+        w3 = wk[...]  # (3, 3, c_in_k, cch)
+        aq, bq = cur.shape[0] - 2, cur.shape[1] - 2
+        acc = jnp.zeros((aq, bq, ns.cch), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + mm(cur[dy:dy + aq, dx:dx + bq, :], w3[dy, dx])
+        q -= 1
+        cur = mask_zero(bias_act(acc, bk), q).astype(dt)
+        ys.append((cur, q))
+
+    members: Dict[str, jnp.ndarray] = {
+        "b": yb[p:p + th, p:p + w, :],
+    }
+    for k, (y, q) in enumerate(ys):
+        members[f"y{k + 1}"] = y[q:q + th, q:q + w, :]
+    if "a" in ns.members:
+        xa = x[p:p + th, p:p + w, :]
+        members["a"] = bias_act(mm(xa, wa), ba).astype(dt)
+
+    # transition 1x1 as a sum of per-member matmuls (the concat never
+    # materializes; f32 partials stay in VMEM)
+    acc = jnp.zeros((th, w, ns.cout), jnp.float32)
+    off = 0
+    wt_all = wt[...]
+    for m in ns.members:
+        cm = ns.member_width(m)
+        acc = acc + mm(members[m], wt_all[off:off + cm, :])
+        off += cm
+    out = bias_act(acc, bt).astype(out_ref.dtype)
+    out_ref[...] = out[None]
+
+
+def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
+               shape: ElanShape, *, th: int = 0,
+               interpret=None) -> jnp.ndarray:
+    """Run one fused ELAN group.
+
+    x: (B, H, W, cin).  weights: flat sequence
+    [wa (cin,ccv), ba (1,ccv) f32, wb, bb, w1 (3,3,ccv,cch), b1, ...,
+    wn, bn, wt (concat_width,cout), bt (1,cout) f32], kernels in x.dtype
+    with BN scale pre-folded (see models/fused.pack_elan_weights).
+    Returns (B, H, W, cout) in x.dtype.
+    """
+    bsz, h, w, cin = x.shape
+    assert cin == shape.cin, (cin, shape.cin)
+    if interpret is None:
+        # Mosaic only exists on TPU; everywhere else run interpreted
+        interpret = jax.default_backend() in ("cpu",)
+    p = shape.halo
+    if th <= 0:
+        th = choose_strip_height(shape, h, w, x.dtype.itemsize)
+    assert th > 0 and h % th == 0, (h, th)
+
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + \
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
+    kern = functools.partial(_elan_kernel, shape=shape, h=h, w=w, th=th)
+    return pl.pallas_call(
+        kern,
+        grid=(bsz, h // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, w, shape.cout),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, shape.cout), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * p, w + 2 * p, cin), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, *weights)
+
+
+def reference_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
+                   shape: ElanShape) -> jnp.ndarray:
+    """Plain-XLA execution of the same folded group (conv-by-conv), used
+    as the numeric oracle and the A/B baseline for the kernel."""
+    act = _act_fn(shape.act)
+    wa, ba, wb, bb = weights[:4]
+
+    def conv1(v, wmat, bias):
+        y = jax.lax.dot_general(
+            v, wmat, dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return act(y + bias.reshape(1, 1, 1, -1)).astype(v.dtype)
+
+    def conv3(v, w3, bias):
+        y = jax.lax.conv_general_dilated(
+            v, w3, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return act(y + bias.reshape(1, 1, 1, -1)).astype(v.dtype)
+
+    outs = {"a": conv1(x, wa, ba), "b": conv1(x, wb, bb)}
+    cur = outs["b"]
+    for k in range(shape.n_chain):
+        w3, bk = weights[4 + 2 * k], weights[5 + 2 * k]
+        cur = conv3(cur, w3, bk)
+        outs[f"y{k + 1}"] = cur
+    wt, bt = weights[4 + 2 * shape.n_chain], weights[5 + 2 * shape.n_chain]
+    cat = jnp.concatenate([outs[m] for m in shape.members], axis=-1)
+    return conv1(cat, wt, bt)
