@@ -48,15 +48,19 @@ class ElanBlock:
     concat: int               # Concat node index
     trans: int                # transition 1x1 conv node index
     shape: PE.ElanShape
+    pre: Optional[int] = None  # absorbed 3x3 feed conv (backbone
+    #                            downsample), when shape.has_pre
 
     @property
     def start(self) -> int:
-        return min(self.a, self.b)
+        first = min(self.a, self.b)
+        return self.pre if self.pre is not None else first
 
     @property
     def nodes(self) -> Tuple[int, ...]:
+        extra = {self.pre} if self.pre is not None else set()
         return tuple(sorted({self.a, self.b, *self.chain,
-                             self.concat, self.trans}))
+                             self.concat, self.trans} | extra))
 
 
 def _norm_f(nodes: Sequence[Node], i: int) -> List[int]:
@@ -70,7 +74,7 @@ def _act_name(spec: ModelSpec, node: Node) -> str:
     return "silu" if act is True else str(act)
 
 
-def _is_conv(node: Node, k: int) -> bool:
+def _is_conv(node: Node, k: int, stride: int = 1) -> bool:
     if node.op != "Conv" or node.n_resolved != 1:
         return False
     args = node.args
@@ -80,11 +84,17 @@ def _is_conv(node: Node, k: int) -> bool:
     s = int(args[2]) if len(args) > 2 else 1
     p = args[3] if len(args) > 3 else None
     g = int(args[4]) if len(args) > 4 and not isinstance(args[4], str) else 1
-    return int(kk) == k and s == 1 and g == 1 and p is None
+    return int(kk) == k and s == stride and g == 1 and p is None
 
 
-def find_elan_blocks(spec: ModelSpec) -> List[ElanBlock]:
-    """Locate every fusable ELAN group in a resolved spec."""
+def find_elan_blocks(spec: ModelSpec,
+                     absorb_pre: bool = False) -> List[ElanBlock]:
+    """Locate every fusable ELAN group in a resolved spec.
+
+    With `absorb_pre`, a 3x3 stride-1/2 Conv that feeds ONLY the
+    group's two 1x1s (the backbone downsample preceding each E-ELAN,
+    reference cfg/yolov7-w6.yaml rows 14/23/32/41) is absorbed into the
+    kernel, removing its HBM write+read."""
     spec = spec.resolve()
     nodes = spec.nodes
     consumers: Dict[int, set] = {i: set() for i in range(len(nodes))}
@@ -162,12 +172,29 @@ def find_elan_blocks(spec: ModelSpec) -> List[ElanBlock]:
                 return "b"
             return f"y{chain.index(i) + 1}"
 
+        pre: Optional[int] = None
+        pre_cin, pre_stride = 0, 1
+        if absorb_pre:
+            src = fa[0]
+            if (0 <= src == a - 1  # directly precedes: whole group is
+                    # then one contiguous node run for the executor
+                    and (_is_conv(nodes[src], 3, 2)
+                         or _is_conv(nodes[src], 3, 1))
+                    and consumers[src] == {a, b}
+                    and _act_name(spec, nodes[src]) ==
+                    _act_name(spec, nodes[a])):
+                pre = src
+                pre_cin = nodes[src].c1
+                pre_stride = int(nodes[src].args[2]) \
+                    if len(nodes[src].args) > 2 else 1
         shape = PE.ElanShape(
             cin=nodes[a].c1, ccv=ccv, cch=cch, cout=nodes[k + 1].c2,
             n_chain=len(chain), members=tuple(mname(m) for m in mem),
-            act=_act_name(spec, nodes[a]))
+            act=_act_name(spec, nodes[a]),
+            pre_cin=pre_cin, pre_stride=pre_stride)
         blocks.append(ElanBlock(a=route, b=chain_src, chain=tuple(chain),
-                                concat=k, trans=k + 1, shape=shape))
+                                concat=k, trans=k + 1, shape=shape,
+                                pre=pre))
     return blocks
 
 
@@ -200,6 +227,9 @@ def _conv_eff(variables, idx: int, dtype):
 def pack_elan_weights(variables, block: ElanBlock, dtype):
     """Flat weight list for ops/pallas_elan.fused_elan."""
     ws: List[jnp.ndarray] = []
+    if block.pre is not None:
+        k, bias = _conv_eff(variables, block.pre, dtype)
+        ws += [k, bias]
     for idx in (block.a, block.b):
         k, bias = _conv_eff(variables, idx, dtype)
         ws += [k.reshape(k.shape[2], k.shape[3]), bias]
@@ -238,7 +268,17 @@ def fused_apply(spec: ModelSpec, variables, x: jnp.ndarray,
         dtype = x.dtype
     if blocks is None:
         blocks = find_elan_blocks(spec)
-    by_start = {blk.start: blk for blk in blocks}
+    by_start = {}
+    for blk in blocks:
+        by_start[blk.start] = blk
+        if blk.pre is not None:
+            # if the absorbed variant doesn't fit VMEM, the pre conv
+            # runs as a normal node and the group still fuses bare
+            alt = dataclasses.replace(
+                blk, pre=None,
+                shape=dataclasses.replace(blk.shape, pre_cin=0,
+                                          pre_stride=1))
+            by_start.setdefault(alt.start, alt)
 
     saved: List[Optional[jnp.ndarray]] = []
     save = set(spec.save)
@@ -247,11 +287,14 @@ def fused_apply(spec: ModelSpec, variables, x: jnp.ndarray,
     while i < len(nodes):
         blk = by_start.get(i)
         if blk is not None:
-            src = _norm_f(nodes, blk.a)[0]
+            feed = blk.pre if blk.pre is not None else blk.a
+            src = _norm_f(nodes, feed)[0]
             inp = saved[src] if saved[src] is not None else x
+            s = blk.shape.pre_stride if blk.shape.has_pre else 1
+            gh, gw = inp.shape[1] // s, inp.shape[2] // s
             th = PE.choose_strip_height(
-                blk.shape, inp.shape[1], inp.shape[2], inp.dtype.itemsize)
-            if th > 0 and inp.shape[1] % th == 0:
+                blk.shape, gh, gw, inp.dtype.itemsize)
+            if th > 0 and gh % th == 0 and inp.shape[1] % s == 0:
                 ws = pack_elan_weights(variables, blk, inp.dtype)
                 out = PE.fused_elan(inp, ws, blk.shape, th=th,
                                     interpret=interpret)

@@ -60,6 +60,19 @@ class ElanShape:
     n_chain: int          # number of 3x3 convs in the chain
     members: Tuple[str, ...]  # concat order; entries in {a, b, y1..yn}
     act: str = "silu"     # activation of every conv in the group
+    # optional absorbed 3x3 conv feeding the group (the backbone
+    # downsample): pre_cin > 0 enables it; its output channels == cin
+    pre_cin: int = 0
+    pre_stride: int = 1
+    # chain convs as 3 per-dy (M, 3*cch) @ (3*cch, cch) matmuls instead
+    # of 9 accumulated K=cch taps: feeds the MXU a wider contraction
+    # when the chain is narrow (cch < 128) at the cost of a 3x wider
+    # temp (dx-only concat — dy-mixed concats fail Mosaic layout)
+    im2col: bool = False
+
+    @property
+    def has_pre(self) -> bool:
+        return self.pre_cin > 0
 
     @property
     def halo(self) -> int:
@@ -86,11 +99,22 @@ def _act_fn(name: str):
 def strip_footprint(shape: ElanShape, th: int, w: int, itemsize: int) -> int:
     """Approximate VMEM bytes for one grid cell at strip height `th`."""
     p = shape.halo
-    a, bw = th + 2 * p, w + 2 * p
+    a = th + 2 * p
+    bw = w + 2 * p + (-(w + 2 * p) % 16)   # 16-aligned ext width
     total = 2 * a * bw * shape.cin * itemsize            # x strip (+copy slack)
+    if shape.has_pre:
+        s = shape.pre_stride
+        la = s * (a - 1) + 3
+        lb = s * (bw - 1) + 3
+        lb += -lb % 16
+        total += 2 * la * lb * shape.pre_cin * itemsize  # pre strip
+        total += 9 * shape.pre_cin * shape.cin * itemsize
     total += a * bw * shape.ccv * itemsize               # b branch (ext)
     for k in range(1, shape.n_chain + 1):
         total += (a - 2 * k) * (bw - 2 * k) * shape.cch * itemsize
+    if shape.im2col:  # widest (M, 3*c) per-dy temp of the chain
+        total += (a - 2) * (bw - 2) * 3 * max(shape.ccv, shape.cch) \
+            * itemsize
     total += th * w * shape.ccv * itemsize               # a branch (center)
     total += th * w * shape.cout * 4                     # f32 accumulator
     # weights resident in VMEM
@@ -113,25 +137,31 @@ def choose_strip_height(shape: ElanShape, h: int, w: int,
     return 0
 
 
-def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int):
+def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
+                 wpad: int = 0):
     ns = shape
     p = ns.halo
-    n_in = 5 + 2 * ns.n_chain + 2
-    x_hbm, wa, ba, wb, bb = refs[:5]
-    chain = [(refs[5 + 2 * k], refs[6 + 2 * k]) for k in range(ns.n_chain)]
-    wt, bt = refs[5 + 2 * ns.n_chain], refs[6 + 2 * ns.n_chain]
+    npre = 2 if ns.has_pre else 0
+    n_in = 5 + npre + 2 * ns.n_chain + 2
+    x_hbm = refs[0]
+    if ns.has_pre:
+        wp, bp = refs[1], refs[2]
+    wa, ba, wb, bb = refs[1 + npre:5 + npre]
+    chain = [(refs[5 + npre + 2 * k], refs[6 + npre + 2 * k])
+             for k in range(ns.n_chain)]
+    wt, bt = refs[5 + npre + 2 * ns.n_chain], refs[6 + npre + 2 * ns.n_chain]
     out_ref = refs[n_in]
     xs_ref, sem = refs[n_in + 1], refs[n_in + 2]
 
     bi = pl.program_id(0)
     si = pl.program_id(1)
     act = _act_fn(ns.act)
-
-    # halo'd strip: rows [si*th, si*th + th + 2p) of the padded input
-    dma = pltpu.make_async_copy(
-        x_hbm.at[bi, pl.ds(si * th, th + 2 * p)], xs_ref, sem)
-    dma.start()
-    dma.wait()
+    # b_ext carries extra right-pad columns so the DMA'd scratch strip's
+    # sublane dim is 16-aligned (unaligned widths crash the Mosaic
+    # compile — every measured 2026-08-17 HTTP-500 block had
+    # (w + 2p) % 16 != 0, every compiling one had 0).  The domain mask
+    # zeroes the extra columns; center slices never read them.
+    a_ext, b_ext = th + 2 * p, w + 2 * p + wpad
 
     def mm(arr, wref_or_w):
         wmat = wref_or_w[...] if hasattr(wref_or_w, "at") else wref_or_w
@@ -153,8 +183,37 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int):
         ok = (grow >= 0) & (grow < h) & (cid >= q) & (cid < q + w)
         return jnp.where(ok, arr, jnp.zeros_like(arr))
 
-    x = xs_ref[...]
-    dt = x.dtype
+    if ns.has_pre:
+        # fetch the pre-conv's input strip and run the absorbed 3x3
+        # (stride s) to materialize the group input only in VMEM
+        s = ns.pre_stride
+        la = s * (a_ext - 1) + 3
+        dma = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(s * si * th, la)], xs_ref, sem)
+        dma.start()
+        dma.wait()
+        xp = xs_ref[...]
+        dt = xp.dtype
+        w3 = wp[...]
+        acc = jnp.zeros((a_ext, b_ext, ns.cin), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = xp[dy:dy + s * (a_ext - 1) + 1:s,
+                         dx:dx + s * (b_ext - 1) + 1:s, :]
+                acc = acc + jax.lax.dot_general(
+                    tap, w3[dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        x = mask_zero(act(acc + bp[...].reshape(1, 1, ns.cin)),
+                      p).astype(dt)
+    else:
+        # halo'd strip: rows [si*th, si*th + th + 2p) of the padded input
+        dma = pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(si * th, a_ext)], xs_ref, sem)
+        dma.start()
+        dma.wait()
+        x = xs_ref[...]
+        dt = x.dtype
 
     # chain input branch "b": 1x1 over the full ext strip
     yb = mask_zero(bias_act(mm(x, wb), bb), p).astype(dt)
@@ -166,10 +225,27 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int):
         wk, bk = chain[k]
         w3 = wk[...]  # (3, 3, c_in_k, cch)
         aq, bq = cur.shape[0] - 2, cur.shape[1] - 2
-        acc = jnp.zeros((aq, bq, ns.cch), jnp.float32)
-        for dy in range(3):
+        if ns.im2col:
+            # concat only over dy: Mosaic tiles the (row, col, chan)
+            # vector as (sublane=col, lane=chan), so dy-slices (row
+            # offsets) share their sublane offset and the lane-dim
+            # concat lowers; dx-slices differ in sublane offset and a
+            # dx (or 9-way) concat is rejected ("result/input offset
+            # mismatch on non-concat dimension", measured 2026-08-17).
+            # K still widens 3x (3*cch) — the MXU win for narrow chains.
+            acc = jnp.zeros((aq, bq, ns.cch), jnp.float32)
             for dx in range(3):
-                acc = acc + mm(cur[dy:dy + aq, dx:dx + bq, :], w3[dy, dx])
+                cols = jnp.concatenate(
+                    [cur[dy:dy + aq, dx:dx + bq, :] for dy in range(3)],
+                    axis=-1)
+                acc = acc + mm(
+                    cols, w3[:, dx].reshape(3 * w3.shape[2], w3.shape[3]))
+        else:
+            acc = jnp.zeros((aq, bq, ns.cch), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    acc = acc + mm(cur[dy:dy + aq, dx:dx + bq, :],
+                                   w3[dy, dx])
         q -= 1
         cur = mask_zero(bias_act(acc, bk), q).astype(dt)
         ys.append((cur, q))
@@ -201,14 +277,24 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
                interpret=None) -> jnp.ndarray:
     """Run one fused ELAN group.
 
-    x: (B, H, W, cin).  weights: flat sequence
+    x: (B, H, W, cin) — or, when shape.has_pre, the absorbed 3x3 conv's
+    own input (B, s*H, s*W, pre_cin) (SAME pad 1, stride s).  weights:
+    flat sequence
+    [wp (3,3,pre_cin,cin), bp (1,cin) f32,]   (only when has_pre)
     [wa (cin,ccv), ba (1,ccv) f32, wb, bb, w1 (3,3,ccv,cch), b1, ...,
     wn, bn, wt (concat_width,cout), bt (1,cout) f32], kernels in x.dtype
     with BN scale pre-folded (see models/fused.pack_elan_weights).
     Returns (B, H, W, cout) in x.dtype.
     """
-    bsz, h, w, cin = x.shape
-    assert cin == shape.cin, (cin, shape.cin)
+    bsz = x.shape[0]
+    if shape.has_pre:
+        s = shape.pre_stride
+        assert x.shape[3] == shape.pre_cin, (x.shape, shape.pre_cin)
+        assert x.shape[1] % s == 0 and x.shape[2] % s == 0
+        h, w = x.shape[1] // s, x.shape[2] // s
+    else:
+        h, w = x.shape[1], x.shape[2]
+        assert x.shape[3] == shape.cin, (x.shape, shape.cin)
     if interpret is None:
         # Mosaic only exists on TPU; everywhere else run interpreted
         interpret = jax.default_backend() in ("cpu",)
@@ -217,10 +303,29 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
         th = choose_strip_height(shape, h, w, x.dtype.itemsize)
     assert th > 0 and h % th == 0, (h, th)
 
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    # Mosaic rejects DMA strips whose sublane (second-minor) dim is not
+    # 16-aligned; extend the group's ext width with dead right-pad
+    # columns (masked to zero in-kernel) so every scratch is aligned.
+    wpad = -(w + 2 * p) % 16
+    b_ext = w + 2 * p + wpad
+    if shape.has_pre:
+        # pad so that padded row s*g + dy (dy in 0..2) is the absorbed
+        # conv's tap row s*g + dy - 1 of the true input, with the group
+        # halo's p extra rows in front: pad = s*p + 1 each side
+        s = shape.pre_stride
+        q = s * p + 1
+        w_pre = s * (b_ext - 1) + 3
+        w_pre += -w_pre % 16
+        xp = jnp.pad(x, ((0, 0), (q, q), (q, w_pre - q - s * w), (0, 0)))
+        scratch_x = pltpu.VMEM(
+            (s * (th + 2 * p - 1) + 3, w_pre, shape.pre_cin), x.dtype)
+    else:
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p + wpad), (0, 0)))
+        scratch_x = pltpu.VMEM((th + 2 * p, b_ext, shape.cin), x.dtype)
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
-    kern = functools.partial(_elan_kernel, shape=shape, h=h, w=w, th=th)
+    kern = functools.partial(_elan_kernel, shape=shape, h=h, w=w, th=th,
+                             wpad=wpad)
     return pl.pallas_call(
         kern,
         grid=(bsz, h // th),
@@ -230,7 +335,7 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, shape.cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * p, w + 2 * p, cin), x.dtype),
+            scratch_x,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -242,7 +347,6 @@ def reference_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
     """Plain-XLA execution of the same folded group (conv-by-conv), used
     as the numeric oracle and the A/B baseline for the kernel."""
     act = _act_fn(shape.act)
-    wa, ba, wb, bb = weights[:4]
 
     def conv1(v, wmat, bias):
         y = jax.lax.dot_general(
@@ -250,13 +354,18 @@ def reference_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
             preferred_element_type=jnp.float32)
         return act(y + bias.reshape(1, 1, 1, -1)).astype(v.dtype)
 
-    def conv3(v, w3, bias):
+    def conv3(v, w3, bias, stride=1):
         y = jax.lax.conv_general_dilated(
-            v, w3, window_strides=(1, 1), padding="SAME",
+            v, w3, window_strides=(stride, stride),
+            padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
         return act(y + bias.reshape(1, 1, 1, -1)).astype(v.dtype)
 
+    if shape.has_pre:
+        x = conv3(x, weights[0], weights[1], stride=shape.pre_stride)
+        weights = weights[2:]
+    wa, ba, wb, bb = weights[:4]
     outs = {"a": conv1(x, wa, ba), "b": conv1(x, wb, bb)}
     cur = outs["b"]
     for k in range(shape.n_chain):

@@ -23,8 +23,11 @@ def _rand_weights(rng, shape: ElanShape):
     def w(*s):
         return jnp.asarray(rng.randn(*s) * 0.2, jnp.float32)
 
-    ws = [w(shape.cin, shape.ccv), w(1, shape.ccv),
-          w(shape.cin, shape.ccv), w(1, shape.ccv)]
+    ws = []
+    if shape.has_pre:
+        ws += [w(3, 3, shape.pre_cin, shape.cin), w(1, shape.cin)]
+    ws += [w(shape.cin, shape.ccv), w(1, shape.ccv),
+           w(shape.cin, shape.ccv), w(1, shape.ccv)]
     cin_k = shape.ccv
     for _ in range(shape.n_chain):
         ws += [w(3, 3, cin_k, shape.cch), w(1, shape.cch)]
@@ -46,6 +49,39 @@ def test_kernel_matches_reference(members, ccv, cch, n_chain, act):
     ws = _rand_weights(rng, shape)
     ref = reference_elan(x, ws, shape)
     got = fused_elan(x, ws, shape, th=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_kernel_im2col_variant():
+    """im2col=True runs each chain conv as one (M, 9*cch) matmul; the
+    numerics must match the 9-tap accumulation bit-for-bit in f32."""
+    rng = np.random.RandomState(3)
+    base = dict(cin=12, ccv=8, cch=8, cout=16, n_chain=4,
+                members=("y4", "y2", "b", "a"), act="silu")
+    x = jnp.asarray(rng.randn(2, 16, 16, 12), jnp.float32)
+    ws = _rand_weights(rng, ElanShape(**base))
+    ref = reference_elan(x, ws, ElanShape(**base))
+    got = fused_elan(x, ws, ElanShape(im2col=True, **base), th=8,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_kernel_absorbed_pre_conv(stride):
+    """has_pre: the kernel runs the feeding 3x3 (SAME pad 1, stride s)
+    in VMEM before the group; x is the pre conv's own input."""
+    rng = np.random.RandomState(2)
+    shape = ElanShape(cin=12, ccv=8, cch=8, cout=16, n_chain=4,
+                      members=("y4", "y2", "b", "a"), act="silu",
+                      pre_cin=6, pre_stride=stride)
+    # w=20 -> ext width 28: also exercises the 16-alignment right-pad
+    x = jnp.asarray(rng.randn(2, 16 * stride, 20 * stride, 6), jnp.float32)
+    ws = _rand_weights(rng, shape)
+    ref = reference_elan(x, ws, shape)
+    got = fused_elan(x, ws, shape, th=8, interpret=True)
+    assert got.shape == (2, 16, 20, 16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
 
@@ -87,6 +123,25 @@ def test_find_blocks_tiny_leaky_chain2():
                for b in blocks)
 
 
+def test_find_blocks_absorb_pre():
+    """absorb_pre pulls in exactly the stride-2 3x3 backbone downsamples
+    that feed only the group's two 1x1s (w6: nodes 2/11/20/29/38)."""
+    blocks = find_elan_blocks(zoo.get_spec("yolov7-w6-face"),
+                              absorb_pre=True)
+    assert len(blocks) == 11
+    pres = {b.pre: b for b in blocks if b.pre is not None}
+    assert set(pres) == {2, 11, 20, 29, 38}
+    blk = pres[2]
+    assert blk.start == 2 and blk.nodes[0] == 2
+    assert blk.shape.pre_cin == 64 and blk.shape.pre_stride == 2
+    # head groups are fed by concats: never absorbed
+    assert all(b.pre is None for b in blocks
+               if len(b.shape.members) == 6)
+    tiny = find_elan_blocks(zoo.get_spec("yolov7-tiny-face"),
+                            absorb_pre=True)
+    assert [b.pre for b in tiny if b.pre is not None] == [1]
+
+
 def test_find_blocks_lite_none():
     assert find_elan_blocks(zoo.get_spec("yolov7-lite-t")) == []
 
@@ -120,6 +175,20 @@ def test_fused_executor_matches_model():
                     jnp.float32)
     ref = YoloFace(spec=spec).apply(variables, x, train=False)
     got = fused_apply(spec, variables, x, interpret=True)
+    for r, g in zip(ref, got):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-6
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 1e-5, (err, scale)
+
+
+def test_fused_executor_absorb_pre_matches_model():
+    spec = zoo.get_spec("yolov7-w6-face")
+    _, variables = init_model(spec, jax.random.PRNGKey(0), img_size=64)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                    jnp.float32)
+    ref = YoloFace(spec=spec).apply(variables, x, train=False)
+    blocks = find_elan_blocks(spec, absorb_pre=True)
+    got = fused_apply(spec, variables, x, blocks=blocks, interpret=True)
     for r, g in zip(ref, got):
         scale = float(jnp.max(jnp.abs(r))) + 1e-6
         err = float(jnp.max(jnp.abs(r - g)))

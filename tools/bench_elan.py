@@ -34,6 +34,29 @@ def main():
     ap.add_argument("--img", type=int, default=640)
     ap.add_argument("--skip-engine", action="store_true")
     ap.add_argument("--skip-blocks", action="store_true")
+    # Relay RTT is 35-70 ms; a single block eval is ~1 ms of device
+    # work, so naive dispatch+fetch timing measures the tunnel, not the
+    # kernel (CLAUDE.md).  --reps K runs the block K times inside ONE
+    # jitted call via fori_loop (with a k-dependent input perturbation
+    # so XLA cannot hoist the loop-invariant body) and reports ms/rep.
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--only", default="",
+                    help="comma list of block start indices to run")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the numeric cross-check compile")
+    ap.add_argument("--fuse-only", default="",
+                    help="engine A/B: fuse only these start indices")
+    ap.add_argument("--kernels", default="taps",
+                    help="comma list of fused variants: taps,im2col")
+    ap.add_argument("--skip-xla", action="store_true",
+                    help="block section: time only the fused variants")
+    ap.add_argument("--absorb-pre", action="store_true",
+                    help="absorb each group's feeding 3x3 downsample")
+    ap.add_argument("--th", type=int, default=0,
+                    help="cap the strip height (0 = auto): the largest "
+                    "VMEM-feasible th can exhaust the remote compile "
+                    "helper on big blocks (elan@3@160 th=32 SIGKILLed "
+                    "the AOT subprocess, 2026-08-17)")
     args = ap.parse_args()
 
     import jax
@@ -70,55 +93,99 @@ def main():
     rng = np.random.RandomState(0)
 
     spec = zoo.get_spec("yolov7-w6-face")
-    blocks = find_elan_blocks(spec)
+    blocks = find_elan_blocks(spec, absorb_pre=args.absorb_pre)
     _, variables = init_model(spec, jax.random.PRNGKey(0), img_size=64,
                               dtype=dt)
     # spatial size of each block's input at --img (static propagation)
     heights = _node_heights(spec, args.img)
     shapes_at = {blk.start: heights[blk.start] for blk in blocks}
 
+    only = {int(s) for s in args.only.split(",") if s}
+    reps = args.reps
+
+    def repeated(block_fn):
+        # K reps inside one jitted call; acc + perturbation defeat both
+        # hoisting and relay result caching.
+        def f(ws_, x_):
+            def body(k, acc):
+                xk = x_ + k.astype(x_.dtype) * x_.dtype.type(1e-6)
+                return acc + block_fn(ws_, xk)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+        return jax.jit(f)
+
     if not args.skip_blocks:
         for blk in blocks:
+            if only and blk.start not in only:
+                continue
             h = w = int(shapes_at[blk.start])
             th = choose_strip_height(blk.shape, h, w, 2)
+            if args.th and th:
+                caps = [d for d in range(1, min(th, args.th) + 1)
+                        if h % d == 0]
+                th = caps[-1] if caps else th
             name = f"elan@{blk.start}@{h}"
             if th == 0:
                 emit({"section": "block", "name": name, "status": "no-th"})
                 continue
             ws = pack_elan_weights(variables, blk, dt)
+            s = blk.shape.pre_stride if blk.shape.has_pre else 1
+            cin_in = blk.shape.pre_cin if blk.shape.has_pre \
+                else blk.shape.cin
             pool = [
                 (ws, jnp.asarray(
-                    rng.randn(b, h, w, blk.shape.cin) * 0.5, dt))
+                    rng.randn(b, s * h, s * w, cin_in) * 0.5, dt))
                 for _ in range(3)]
-            fused = jax.jit(lambda ws_, x_, s=blk.shape, t=th: jnp.sum(
-                fused_elan(x_, ws_, s, th=t,
-                           interpret=args.cpu).astype(jnp.float32)))
-            ref = jax.jit(lambda ws_, x_, s=blk.shape: jnp.sum(
-                reference_elan(x_, ws_, s).astype(jnp.float32)))
+            import dataclasses as _dc
+            variants = {"taps": blk.shape,
+                        "im2col": _dc.replace(blk.shape, im2col=True)}
+            row = {"section": "block", "name": name, "th": th,
+                   "h": h, "cin": blk.shape.cin, "cch": blk.shape.cch,
+                   "members": len(blk.shape.members), "reps": reps,
+                   "status": "ok"}
             try:
-                # numeric check on one (small) input first
-                xs = pool[0][1][:2]
-                d = float(jnp.max(jnp.abs(
-                    fused_elan(xs, ws, blk.shape, th=th,
-                               interpret=args.cpu).astype(jnp.float32)
-                    - reference_elan(xs, ws, blk.shape).astype(jnp.float32))))
-                t_ref = timed(ref, pool, args.iters)
-                t_fused = timed(fused, pool, args.iters)
-                emit({"section": "block", "name": name, "th": th,
-                      "h": h, "cin": blk.shape.cin, "cch": blk.shape.cch,
-                      "members": len(blk.shape.members),
-                      "xla_ms": round(t_ref * 1e3, 3),
-                      "fused_ms": round(t_fused * 1e3, 3),
-                      "speedup": round(t_ref / t_fused, 3),
-                      "max_abs_diff": d, "status": "ok"})
+                if not args.no_check:
+                    xs = pool[0][1][:2]
+                    row["max_abs_diff"] = float(jnp.max(jnp.abs(
+                        fused_elan(xs, ws, blk.shape, th=th,
+                                   interpret=args.cpu).astype(jnp.float32)
+                        - reference_elan(xs, ws, blk.shape)
+                        .astype(jnp.float32))))
+                if not args.skip_xla:
+                    ref = repeated(lambda ws_, x_, s=blk.shape: jnp.sum(
+                        reference_elan(x_, ws_, s).astype(jnp.float32)))
+                    row["xla_ms"] = round(
+                        timed(ref, pool, args.iters) / reps * 1e3, 3)
+                for kname in args.kernels.split(","):
+                    shp = variants[kname]
+                    fused = repeated(
+                        lambda ws_, x_, s=shp, t=th: jnp.sum(
+                            fused_elan(x_, ws_, s, th=t,
+                                       interpret=args.cpu)
+                            .astype(jnp.float32)))
+                    key = "fused_ms" if kname == "taps" else \
+                        f"fused_{kname}_ms"
+                    row[key] = round(
+                        timed(fused, pool, args.iters) / reps * 1e3, 3)
+                if "xla_ms" in row and "fused_ms" in row:
+                    row["speedup"] = round(row["xla_ms"] / row["fused_ms"],
+                                           3)
+                emit(row)
             except Exception as e:  # lowering/compile failures per shape
-                emit({"section": "block", "name": name, "status": "error",
-                      "error": repr(e)[:500]})
+                import traceback
+                with open(OUT_PATH.with_name("ELAN_ERRORS.txt"), "a") as fh:
+                    fh.write(f"==== {name} ====\n")
+                    fh.write(traceback.format_exc() + "\n")
+                row.update({"status": "error", "error": repr(e)[:500]})
+                emit(row)
 
     if not args.skip_engine:
         model = YoloFace(spec=spec, dtype=dt)
         x_pool = [jnp.asarray(rng.rand(b, args.img, args.img, 3), dt)
                   for _ in range(3)]
+        eng_blocks = blocks
+        if args.fuse_only:
+            keep = {int(s) for s in args.fuse_only.split(",") if s}
+            eng_blocks = [blk for blk in blocks if blk.start in keep]
 
         def consume(raws):
             return sum(jnp.sum(r.astype(jnp.float32)) for r in raws)
@@ -126,7 +193,7 @@ def main():
         xla_fwd = jax.jit(lambda v, x: consume(
             model.apply(v, x, train=False)))
         fused_fwd = jax.jit(lambda v, x: consume(
-            fused_apply(spec, v, x, blocks=blocks, dtype=dt,
+            fused_apply(spec, v, x, blocks=eng_blocks, dtype=dt,
                         interpret=args.cpu)))
         for name, fn in [("xla_fwd", xla_fwd), ("fused_fwd", fused_fwd)]:
             try:
@@ -134,7 +201,8 @@ def main():
                 emit({"section": "engine", "name": name,
                       "ms_per_batch": round(t * 1e3, 2),
                       "img_s": round(b / t, 1), "batch": b,
-                      "img": args.img, "status": "ok"})
+                      "img": args.img, "status": "ok",
+                      "fused_starts": [blk.start for blk in eng_blocks]})
             except Exception as e:
                 emit({"section": "engine", "name": name, "status": "error",
                       "error": repr(e)[:500]})
