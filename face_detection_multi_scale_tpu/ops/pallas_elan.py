@@ -45,9 +45,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM working-set budget for feasibility checks (bytes). v5e has ~16 MB
-# per core; leave headroom for Mosaic's own buffers and the out block.
+# VMEM working-set budget for feasibility checks (bytes), measured
+# against strip_footprint's ESTIMATE.  Mosaic's real scoped-stack
+# allocation runs ~4x the estimate (elan@12@80 th=16: est 5.9 MB,
+# compiler reported 22.05 MB, 2026-08-17), so 12 MB estimated ~= 48 MB
+# real — which is why fused_elan raises the kernel's scoped-vmem limit
+# (default 16 MB) to VMEM_LIMIT; v5e has 128 MB VMEM per core.
 VMEM_BUDGET = 12 * 1024 * 1024
+VMEM_LIMIT = 96 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +74,12 @@ class ElanShape:
     # when the chain is narrow (cch < 128) at the cost of a 3x wider
     # temp (dx-only concat — dy-mixed concats fail Mosaic layout)
     im2col: bool = False
+    # collapse each matmul's (rows, cols) strip dims into one M dim:
+    # a 3-D dot_general keeps the leading dim untiled and lowers as a
+    # serial per-row loop of M=cols matmuls; a (rows*cols, K) 2-D dot
+    # feeds the MXU one deep M.  Cols are sublane-padded to 16 first so
+    # the collapse is tile-exact (dead columns sliced off after).
+    flat_mm: bool = False
 
     @property
     def has_pre(self) -> bool:
@@ -165,6 +176,17 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
 
     def mm(arr, wref_or_w):
         wmat = wref_or_w[...] if hasattr(wref_or_w, "at") else wref_or_w
+        if ns.flat_mm:
+            aq, bq, kk = arr.shape
+            bq16 = bq + (-bq % 16)
+            if bq16 != bq:
+                arr = jnp.pad(arr, ((0, 0), (0, bq16 - bq), (0, 0)))
+            y = jax.lax.dot_general(
+                arr.reshape(aq * bq16, kk), wmat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = y.reshape(aq, bq16, y.shape[-1])
+            return y[:, :bq, :] if bq16 != bq else y
         return jax.lax.dot_general(
             arr, wmat, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -200,10 +222,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             for dx in range(3):
                 tap = xp[dy:dy + s * (a_ext - 1) + 1:s,
                          dx:dx + s * (b_ext - 1) + 1:s, :]
-                acc = acc + jax.lax.dot_general(
-                    tap, w3[dy, dx],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                acc = acc + mm(tap, w3[dy, dx])
         x = mask_zero(act(acc + bp[...].reshape(1, 1, ns.cin)),
                       p).astype(dt)
     else:
@@ -338,6 +357,14 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
             scratch_x,
             pltpu.SemaphoreType.DMA(()),
         ],
+        # batch cells are independent; strips stay sequential so a
+        # future cross-strip carry keeps its ordering guarantee.  The
+        # scoped-vmem limit must be raised explicitly: Mosaic's default
+        # is 16 MB and the compiler's stack accounting rejects strips
+        # the footprint model says fit (see VMEM_LIMIT note above).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(xp, *weights)
 

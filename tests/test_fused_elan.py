@@ -68,6 +68,24 @@ def test_kernel_im2col_variant():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_kernel_flat_mm_variant():
+    """flat_mm=True collapses every matmul to 2-D (rows*cols16, K);
+    numerics must match the 3-D dot path (w=20 exercises both the
+    already-aligned b_ext and the per-tap sublane pad-to-16)."""
+    rng = np.random.RandomState(4)
+    base = dict(cin=12, ccv=8, cch=8, cout=16, n_chain=4,
+                members=("y4", "y2", "b", "a"), act="silu",
+                pre_cin=6, pre_stride=2)
+    x = jnp.asarray(rng.randn(2, 32, 40, 6), jnp.float32)
+    ws = _rand_weights(rng, ElanShape(**base))
+    ref = reference_elan(x, ws, ElanShape(**base))
+    for extra in ({"flat_mm": True}, {"flat_mm": True, "im2col": True}):
+        got = fused_elan(x, ws, ElanShape(**base, **extra), th=8,
+                         interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
 @pytest.mark.parametrize("stride", [1, 2])
 def test_kernel_absorbed_pre_conv(stride):
     """has_pre: the kernel runs the feeding 3x3 (SAME pad 1, stride s)

@@ -137,7 +137,10 @@ def main():
                 for _ in range(3)]
             import dataclasses as _dc
             variants = {"taps": blk.shape,
-                        "im2col": _dc.replace(blk.shape, im2col=True)}
+                        "im2col": _dc.replace(blk.shape, im2col=True),
+                        "flat": _dc.replace(blk.shape, flat_mm=True),
+                        "flat_im2col": _dc.replace(
+                            blk.shape, im2col=True, flat_mm=True)}
             row = {"section": "block", "name": name, "th": th,
                    "h": h, "cin": blk.shape.cin, "cch": blk.shape.cch,
                    "members": len(blk.shape.members), "reps": reps,
@@ -145,8 +148,9 @@ def main():
             try:
                 if not args.no_check:
                     xs = pool[0][1][:2]
+                    chk = variants[args.kernels.split(",")[0]]
                     row["max_abs_diff"] = float(jnp.max(jnp.abs(
-                        fused_elan(xs, ws, blk.shape, th=th,
+                        fused_elan(xs, ws, chk, th=th,
                                    interpret=args.cpu).astype(jnp.float32)
                         - reference_elan(xs, ws, blk.shape)
                         .astype(jnp.float32))))
