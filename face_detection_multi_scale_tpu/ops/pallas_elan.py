@@ -80,6 +80,10 @@ class ElanShape:
     # feeds the MXU one deep M.  Cols are sublane-padded to 16 first so
     # the collapse is tile-exact (dead columns sliced off after).
     flat_mm: bool = False
+    # perf-ablation knob (tools/bench_elan --kernels ...+nomask): skip
+    # the SAME-pad ring zeroing.  NUMERICALLY WRONG near borders — only
+    # for isolating the masks' VPU cost on-chip, never for serving.
+    debug_skip_mask: bool = False
 
     @property
     def has_pre(self) -> bool:
@@ -198,6 +202,8 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     def mask_zero(arr, q):
         # arr[r, c] holds image row si*th + r - q, col c - q; zero the
         # out-of-domain ring so downstream taps see SAME-pad zeros
+        if ns.debug_skip_mask:
+            return arr
         aq, bq, _ = arr.shape
         rid = jax.lax.broadcasted_iota(jnp.int32, (aq, bq, 1), 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, (aq, bq, 1), 1)
@@ -205,16 +211,34 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         ok = (grow >= 0) & (grow < h) & (cid >= q) & (cid < q + w)
         return jnp.where(ok, arr, jnp.zeros_like(arr))
 
+    # Double-buffered input DMA: strip si+1 prefetches while si
+    # computes, hiding the copy behind the matmuls.  Prefetch stays
+    # within one batch image (si is the sequential grid dim; bi is
+    # parallel, so a cross-bi prefetch could land in another core's
+    # scratch on megacore parts) — each image pays one cold DMA.
+    nstrips = pl.num_programs(1)
+    s = ns.pre_stride if ns.has_pre else 1
+    la = s * (a_ext - 1) + 3 if ns.has_pre else a_ext
+
+    def strip_dma(s2, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[bi, pl.ds(s * s2 * th, la)],
+            xs_ref.at[slot], sem.at[slot])
+
+    @pl.when(si == 0)
+    def _():
+        strip_dma(si, si % 2).start()
+
+    @pl.when(si + 1 < nstrips)
+    def _():
+        strip_dma(si + 1, (si + 1) % 2).start()
+
+    strip_dma(si, si % 2).wait()
+
     if ns.has_pre:
-        # fetch the pre-conv's input strip and run the absorbed 3x3
-        # (stride s) to materialize the group input only in VMEM
-        s = ns.pre_stride
-        la = s * (a_ext - 1) + 3
-        dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(s * si * th, la)], xs_ref, sem)
-        dma.start()
-        dma.wait()
-        xp = xs_ref[...]
+        # the absorbed 3x3 (stride s) runs on the fetched pre strip to
+        # materialize the group input only in VMEM
+        xp = xs_ref[si % 2]
         dt = xp.dtype
         w3 = wp[...]
         acc = jnp.zeros((a_ext, b_ext, ns.cin), jnp.float32)
@@ -227,11 +251,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
                       p).astype(dt)
     else:
         # halo'd strip: rows [si*th, si*th + th + 2p) of the padded input
-        dma = pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(si * th, a_ext)], xs_ref, sem)
-        dma.start()
-        dma.wait()
-        x = xs_ref[...]
+        x = xs_ref[si % 2]
         dt = x.dtype
 
     # chain input branch "b": 1x1 over the full ext strip
@@ -337,10 +357,10 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
         w_pre += -w_pre % 16
         xp = jnp.pad(x, ((0, 0), (q, q), (q, w_pre - q - s * w), (0, 0)))
         scratch_x = pltpu.VMEM(
-            (s * (th + 2 * p - 1) + 3, w_pre, shape.pre_cin), x.dtype)
+            (2, s * (th + 2 * p - 1) + 3, w_pre, shape.pre_cin), x.dtype)
     else:
         xp = jnp.pad(x, ((0, 0), (p, p), (p, p + wpad), (0, 0)))
-        scratch_x = pltpu.VMEM((th + 2 * p, b_ext, shape.cin), x.dtype)
+        scratch_x = pltpu.VMEM((2, th + 2 * p, b_ext, shape.cin), x.dtype)
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
     kern = functools.partial(_elan_kernel, shape=shape, h=h, w=w, th=th,
@@ -355,7 +375,7 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, shape.cout), x.dtype),
         scratch_shapes=[
             scratch_x,
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         # batch cells are independent; strips stay sequential so a
         # future cross-strip carry keeps its ordering guarantee.  The

@@ -120,8 +120,11 @@ def main():
             h = w = int(shapes_at[blk.start])
             th = choose_strip_height(blk.shape, h, w, 2)
             if args.th and th:
-                caps = [d for d in range(1, min(th, args.th) + 1)
-                        if h % d == 0]
+                # explicit override: largest divisor of h <= --th, even
+                # past the footprint model's pick (the raised scoped-
+                # vmem limit makes bigger strips compilable; the real
+                # bound surfaces as a compile error, recorded per row)
+                caps = [d for d in range(1, args.th + 1) if h % d == 0]
                 th = caps[-1] if caps else th
             name = f"elan@{blk.start}@{h}"
             if th == 0:
@@ -136,11 +139,26 @@ def main():
                     rng.randn(b, s * h, s * w, cin_in) * 0.5, dt))
                 for _ in range(3)]
             import dataclasses as _dc
-            variants = {"taps": blk.shape,
-                        "im2col": _dc.replace(blk.shape, im2col=True),
-                        "flat": _dc.replace(blk.shape, flat_mm=True),
-                        "flat_im2col": _dc.replace(
-                            blk.shape, im2col=True, flat_mm=True)}
+            def resolve_variant(expr):
+                # "+"-joined parts: taps | im2col | flat | relu | nomask
+                # (legacy "flat_im2col" accepted).  relu / nomask are
+                # perf ablations — numerics intentionally wrong.
+                shp = blk.shape
+                for part in expr.replace("flat_im2col",
+                                         "flat+im2col").split("+"):
+                    if part == "taps":
+                        pass
+                    elif part == "im2col":
+                        shp = _dc.replace(shp, im2col=True)
+                    elif part == "flat":
+                        shp = _dc.replace(shp, flat_mm=True)
+                    elif part == "relu":
+                        shp = _dc.replace(shp, act="relu")
+                    elif part == "nomask":
+                        shp = _dc.replace(shp, debug_skip_mask=True)
+                    else:
+                        raise SystemExit(f"unknown variant part {part!r}")
+                return shp
             row = {"section": "block", "name": name, "th": th,
                    "h": h, "cin": blk.shape.cin, "cch": blk.shape.cch,
                    "members": len(blk.shape.members), "reps": reps,
@@ -148,7 +166,7 @@ def main():
             try:
                 if not args.no_check:
                     xs = pool[0][1][:2]
-                    chk = variants[args.kernels.split(",")[0]]
+                    chk = resolve_variant(args.kernels.split(",")[0])
                     row["max_abs_diff"] = float(jnp.max(jnp.abs(
                         fused_elan(xs, ws, chk, th=th,
                                    interpret=args.cpu).astype(jnp.float32)
@@ -160,14 +178,14 @@ def main():
                     row["xla_ms"] = round(
                         timed(ref, pool, args.iters) / reps * 1e3, 3)
                 for kname in args.kernels.split(","):
-                    shp = variants[kname]
+                    shp = resolve_variant(kname)
                     fused = repeated(
                         lambda ws_, x_, s=shp, t=th: jnp.sum(
                             fused_elan(x_, ws_, s, th=t,
                                        interpret=args.cpu)
                             .astype(jnp.float32)))
                     key = "fused_ms" if kname == "taps" else \
-                        f"fused_{kname}_ms"
+                        f"fused_{kname.replace('+', '_')}_ms"
                     row[key] = round(
                         timed(fused, pool, args.iters) / reps * 1e3, 3)
                 if "xla_ms" in row and "fused_ms" in row:
