@@ -80,6 +80,15 @@ class ElanShape:
     # feeds the MXU one deep M.  Cols are sublane-padded to 16 first so
     # the collapse is tile-exact (dead columns sliced off after).
     flat_mm: bool = False
+    # full 9-way im2col (flat_mm only): every chain tap flattens to
+    # (M, cch) and lane-concatenates into one (M, 9*cch) operand, so
+    # each 3x3 conv is a single K=9*cch matmul.  2-D lane concat is
+    # layout-legal where the 3-D dx-mixed concat was not.
+    im2col9: bool = False
+    # run the a and b 1x1 branches as one (cin, 2*ccv) matmul over the
+    # ext strip: N doubles to fill the 128-lane MXU when ccv = 64, at
+    # the cost of computing "a" on the halo ring it doesn't need.
+    pack_ab: bool = False
     # perf-ablation knob (tools/bench_elan --kernels ...+nomask): skip
     # the SAME-pad ring zeroing.  NUMERICALLY WRONG near borders — only
     # for isolating the masks' VPU cost on-chip, never for serving.
@@ -130,6 +139,8 @@ def strip_footprint(shape: ElanShape, th: int, w: int, itemsize: int) -> int:
     if shape.im2col:  # widest (M, 3*c) per-dy temp of the chain
         total += (a - 2) * (bw - 2) * 3 * max(shape.ccv, shape.cch) \
             * itemsize
+    if shape.im2col9:  # (M, 9*c) concat operand of the chain
+        total += (a - 2) * bw * 9 * max(shape.ccv, shape.cch) * itemsize
     total += th * w * shape.ccv * itemsize               # a branch (center)
     total += th * w * shape.cout * 4                     # f32 accumulator
     # weights resident in VMEM
@@ -178,19 +189,30 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     # zeroes the extra columns; center slices never read them.
     a_ext, b_ext = th + 2 * p, w + 2 * p + wpad
 
+    def flat2d(arr):
+        # (rows, cols, k) -> (rows*cols16, k) with cols sublane-padded
+        # to 16 so the collapse is tile-exact
+        aq, bq, kk = arr.shape
+        bq16 = bq + (-bq % 16)
+        if bq16 != bq:
+            arr = jnp.pad(arr, ((0, 0), (0, bq16 - bq), (0, 0)))
+        return arr.reshape(aq * bq16, kk), (aq, bq, bq16)
+
+    def unflat(y2, geom):
+        aq, bq, bq16 = geom
+        y = y2.reshape(aq, bq16, y2.shape[-1])
+        return y[:, :bq, :] if bq16 != bq else y
+
+    def dot2d(a2, wmat):
+        return jax.lax.dot_general(
+            a2, wmat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
     def mm(arr, wref_or_w):
         wmat = wref_or_w[...] if hasattr(wref_or_w, "at") else wref_or_w
         if ns.flat_mm:
-            aq, bq, kk = arr.shape
-            bq16 = bq + (-bq % 16)
-            if bq16 != bq:
-                arr = jnp.pad(arr, ((0, 0), (0, bq16 - bq), (0, 0)))
-            y = jax.lax.dot_general(
-                arr.reshape(aq * bq16, kk), wmat,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y = y.reshape(aq, bq16, y.shape[-1])
-            return y[:, :bq, :] if bq16 != bq else y
+            a2, geom = flat2d(arr)
+            return unflat(dot2d(a2, wmat), geom)
         return jax.lax.dot_general(
             arr, wmat, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -255,7 +277,17 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         dt = x.dtype
 
     # chain input branch "b": 1x1 over the full ext strip
-    yb = mask_zero(bias_act(mm(x, wb), bb), p).astype(dt)
+    ya_packed = None
+    if ns.pack_ab and "a" in ns.members:
+        # both 1x1 branches in one N=2*ccv matmul; "a" only needs the
+        # center slice, so its halo-ring compute is the packing price
+        wab = jnp.concatenate([wb[...], wa[...]], axis=1)
+        bab = jnp.concatenate([bb[...], ba[...]], axis=1)
+        yab = bias_act(mm(x, wab), bab)
+        yb = mask_zero(yab[:, :, :ns.ccv], p).astype(dt)
+        ya_packed = yab[p:p + th, p:p + w, ns.ccv:].astype(dt)
+    else:
+        yb = mask_zero(bias_act(mm(x, wb), bb), p).astype(dt)
 
     # the 3x3 chain, shrinking the halo by 1 per conv
     ys = []
@@ -264,7 +296,20 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         wk, bk = chain[k]
         w3 = wk[...]  # (3, 3, c_in_k, cch)
         aq, bq = cur.shape[0] - 2, cur.shape[1] - 2
-        if ns.im2col:
+        if ns.im2col9 and ns.flat_mm:
+            # all 9 taps flattened to 2-D then lane-concatenated: one
+            # (M, 9*c) @ (9*c, cch) matmul per chain conv.  Legal only
+            # in flat space — 2-D operands share the {0,0} layout
+            # offset the 3-D dx-mixed concat lacked.
+            flats = []
+            for dy in range(3):
+                for dx in range(3):
+                    f2, geom = flat2d(cur[dy:dy + aq, dx:dx + bq, :])
+                    flats.append(f2)
+            cols = jnp.concatenate(flats, axis=1)
+            w9 = w3.reshape(9 * w3.shape[2], w3.shape[3])
+            acc = unflat(dot2d(cols, w9), geom)
+        elif ns.im2col:
             # concat only over dy: Mosaic tiles the (row, col, chan)
             # vector as (sublane=col, lane=chan), so dy-slices (row
             # offsets) share their sublane offset and the lane-dim
@@ -294,7 +339,9 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     }
     for k, (y, q) in enumerate(ys):
         members[f"y{k + 1}"] = y[q:q + th, q:q + w, :]
-    if "a" in ns.members:
+    if ya_packed is not None:
+        members["a"] = ya_packed
+    elif "a" in ns.members:
         xa = x[p:p + th, p:p + w, :]
         members["a"] = bias_act(mm(xa, wa), ba).astype(dt)
 

@@ -79,7 +79,10 @@ def test_kernel_flat_mm_variant():
     x = jnp.asarray(rng.randn(2, 32, 40, 6), jnp.float32)
     ws = _rand_weights(rng, ElanShape(**base))
     ref = reference_elan(x, ws, ElanShape(**base))
-    for extra in ({"flat_mm": True}, {"flat_mm": True, "im2col": True}):
+    for extra in ({"flat_mm": True},
+                  {"flat_mm": True, "im2col": True},
+                  {"flat_mm": True, "im2col9": True},
+                  {"flat_mm": True, "im2col9": True, "pack_ab": True}):
         got = fused_elan(x, ws, ElanShape(**base, **extra), th=8,
                          interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

@@ -152,6 +152,10 @@ def main():
                         shp = _dc.replace(shp, im2col=True)
                     elif part == "flat":
                         shp = _dc.replace(shp, flat_mm=True)
+                    elif part == "im2col9":
+                        shp = _dc.replace(shp, flat_mm=True, im2col9=True)
+                    elif part == "ab":
+                        shp = _dc.replace(shp, pack_ab=True)
                     elif part == "relu":
                         shp = _dc.replace(shp, act="relu")
                     elif part == "nomask":
