@@ -294,7 +294,8 @@ def fused_apply(spec: ModelSpec, variables, x: jnp.ndarray,
             gh, gw = inp.shape[1] // s, inp.shape[2] // s
             th = PE.choose_strip_height(
                 blk.shape, gh, gw, inp.dtype.itemsize)
-            if th > 0 and gh % th == 0 and inp.shape[1] % s == 0:
+            if (th > 0 and gh % th == 0 and inp.shape[1] % s == 0
+                    and inp.shape[2] % s == 0):
                 ws = pack_elan_weights(variables, blk, inp.dtype)
                 out = PE.fused_elan(inp, ws, blk.shape, th=th,
                                     interpret=interpret)

@@ -372,6 +372,10 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
     with BN scale pre-folded (see models/fused.pack_elan_weights).
     Returns (B, H, W, cout) in x.dtype.
     """
+    if shape.im2col9 and not shape.flat_mm:
+        # im2col9 is defined in flat (2-D) space only; normalize rather
+        # than silently running the taps path under the im2col9 label
+        shape = dataclasses.replace(shape, flat_mm=True)
     bsz = x.shape[0]
     if shape.has_pre:
         s = shape.pre_stride

@@ -26,6 +26,33 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 OUT_PATH = pathlib.Path(__file__).parent / "ELAN_AB.json"
 
 
+def resolve_variant(base_shape, expr):
+    """Build an ElanShape from a "+"-joined variant expression:
+    taps | im2col | im2col9 | flat | ab | relu | nomask (legacy
+    "flat_im2col" accepted).  relu / nomask are perf ablations —
+    numerics intentionally wrong."""
+    import dataclasses as _dc
+    shp = base_shape
+    for part in expr.replace("flat_im2col", "flat+im2col").split("+"):
+        if part == "taps":
+            pass
+        elif part == "im2col":
+            shp = _dc.replace(shp, im2col=True)
+        elif part == "flat":
+            shp = _dc.replace(shp, flat_mm=True)
+        elif part == "im2col9":
+            shp = _dc.replace(shp, flat_mm=True, im2col9=True)
+        elif part == "ab":
+            shp = _dc.replace(shp, pack_ab=True)
+        elif part == "relu":
+            shp = _dc.replace(shp, act="relu")
+        elif part == "nomask":
+            shp = _dc.replace(shp, debug_skip_mask=True)
+        else:
+            raise SystemExit(f"unknown variant part {part!r}")
+    return shp
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -105,11 +132,19 @@ def main():
 
     def repeated(block_fn):
         # K reps inside one jitted call; acc + perturbation defeat both
-        # hoisting and relay result caching.
+        # hoisting and relay result caching.  Perturb one BIAS (a
+        # (1, c) tensor), never x: a per-rep x + eps materializes a
+        # full extra input copy per rep — ~2 ms/rep at b128@160 on both
+        # arms, and on the fused arm it also re-runs the host-side
+        # halo pad (found in review, 2026-08-17).
         def f(ws_, x_):
             def body(k, acc):
-                xk = x_ + k.astype(x_.dtype) * x_.dtype.type(1e-6)
-                return acc + block_fn(ws_, xk)
+                # every bias is a (1, c) f32 row; perturbing them all
+                # makes every conv k-dependent so no stage can hoist
+                wk = [wv + k.astype(wv.dtype) * 1e-12
+                      if wv.ndim == 2 and wv.shape[0] == 1 else wv
+                      for wv in ws_]
+                return acc + block_fn(wk, x_)
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
         return jax.jit(f)
 
@@ -119,7 +154,7 @@ def main():
                 continue
             h = w = int(shapes_at[blk.start])
             th = choose_strip_height(blk.shape, h, w, 2)
-            if args.th and th:
+            if args.th:
                 # explicit override: largest divisor of h <= --th, even
                 # past the footprint model's pick (the raised scoped-
                 # vmem limit makes bigger strips compilable; the real
@@ -138,31 +173,6 @@ def main():
                 (ws, jnp.asarray(
                     rng.randn(b, s * h, s * w, cin_in) * 0.5, dt))
                 for _ in range(3)]
-            import dataclasses as _dc
-            def resolve_variant(expr):
-                # "+"-joined parts: taps | im2col | flat | relu | nomask
-                # (legacy "flat_im2col" accepted).  relu / nomask are
-                # perf ablations — numerics intentionally wrong.
-                shp = blk.shape
-                for part in expr.replace("flat_im2col",
-                                         "flat+im2col").split("+"):
-                    if part == "taps":
-                        pass
-                    elif part == "im2col":
-                        shp = _dc.replace(shp, im2col=True)
-                    elif part == "flat":
-                        shp = _dc.replace(shp, flat_mm=True)
-                    elif part == "im2col9":
-                        shp = _dc.replace(shp, flat_mm=True, im2col9=True)
-                    elif part == "ab":
-                        shp = _dc.replace(shp, pack_ab=True)
-                    elif part == "relu":
-                        shp = _dc.replace(shp, act="relu")
-                    elif part == "nomask":
-                        shp = _dc.replace(shp, debug_skip_mask=True)
-                    else:
-                        raise SystemExit(f"unknown variant part {part!r}")
-                return shp
             row = {"section": "block", "name": name, "th": th,
                    "h": h, "cin": blk.shape.cin, "cch": blk.shape.cch,
                    "members": len(blk.shape.members), "reps": reps,
@@ -170,7 +180,8 @@ def main():
             try:
                 if not args.no_check:
                     xs = pool[0][1][:2]
-                    chk = resolve_variant(args.kernels.split(",")[0])
+                    chk = resolve_variant(blk.shape,
+                                          args.kernels.split(",")[0])
                     row["max_abs_diff"] = float(jnp.max(jnp.abs(
                         fused_elan(xs, ws, chk, th=th,
                                    interpret=args.cpu).astype(jnp.float32)
@@ -182,7 +193,7 @@ def main():
                     row["xla_ms"] = round(
                         timed(ref, pool, args.iters) / reps * 1e3, 3)
                 for kname in args.kernels.split(","):
-                    shp = resolve_variant(kname)
+                    shp = resolve_variant(blk.shape, kname)
                     fused = repeated(
                         lambda ws_, x_, s=shp, t=th: jnp.sum(
                             fused_elan(x_, ws_, s, th=t,
