@@ -73,6 +73,9 @@ def main():
                     help="skip the numeric cross-check compile")
     ap.add_argument("--fuse-only", default="",
                     help="engine A/B: fuse only these start indices")
+    ap.add_argument("--engine-variant", default="taps",
+                    help="engine A/B: kernel variant expression applied "
+                    "to every fused block (same grammar as --kernels)")
     ap.add_argument("--kernels", default="taps",
                     help="comma list of fused variants: taps,im2col")
     ap.add_argument("--skip-xla", action="store_true",
@@ -100,12 +103,18 @@ def main():
     from face_detection_multi_scale_tpu.ops.pallas_elan import (
         choose_strip_height, fused_elan, reference_elan)
 
-    rows = []
+    # append-only log: every invocation adds its rows under a header
+    # line instead of clobbering earlier measurements (a CPU smoke once
+    # erased a day of chip rows)
+    with OUT_PATH.open("a") as fh:
+        fh.write(json.dumps({
+            "section": "run", "argv": sys.argv[1:],
+            "at": time.strftime("%Y-%m-%dT%H:%M:%S")}) + "\n")
 
     def emit(row):
-        rows.append(row)
         print(json.dumps(row), flush=True)
-        OUT_PATH.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+        with OUT_PATH.open("a") as fh:
+            fh.write(json.dumps(row) + "\n")
 
     def timed(fn, pool, iters):
         for i in range(2):
@@ -223,6 +232,12 @@ def main():
         if args.fuse_only:
             keep = {int(s) for s in args.fuse_only.split(",") if s}
             eng_blocks = [blk for blk in blocks if blk.start in keep]
+        if args.engine_variant != "taps":
+            import dataclasses as _dc
+            eng_blocks = [
+                _dc.replace(blk, shape=resolve_variant(
+                    blk.shape, args.engine_variant))
+                for blk in eng_blocks]
 
         def consume(raws):
             return sum(jnp.sum(r.astype(jnp.float32)) for r in raws)
