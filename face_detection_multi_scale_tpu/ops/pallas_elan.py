@@ -89,6 +89,11 @@ class ElanShape:
     # ext strip: N doubles to fill the 128-lane MXU when ccv = 64, at
     # the cost of computing "a" on the halo ring it doesn't need.
     pack_ab: bool = False
+    # transition as ONE matmul over the lane-concatenated members
+    # (flat_mm only) instead of a sum of per-member dots: removes
+    # members-1 full-size f32 accumulator adds and widens K to
+    # concat_width.
+    concat_trans: bool = False
     # perf-ablation knob (tools/bench_elan --kernels ...+nomask): skip
     # the SAME-pad ring zeroing.  NUMERICALLY WRONG near borders — only
     # for isolating the masks' VPU cost on-chip, never for serving.
@@ -263,12 +268,23 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         xp = xs_ref[si % 2]
         dt = xp.dtype
         w3 = wp[...]
-        acc = jnp.zeros((a_ext, b_ext, ns.cin), jnp.float32)
-        for dy in range(3):
-            for dx in range(3):
-                tap = xp[dy:dy + s * (a_ext - 1) + 1:s,
-                         dx:dx + s * (b_ext - 1) + 1:s, :]
-                acc = acc + mm(tap, w3[dy, dx])
+        if ns.im2col9 and ns.flat_mm:
+            flats = []
+            for dy in range(3):
+                for dx in range(3):
+                    tap = xp[dy:dy + s * (a_ext - 1) + 1:s,
+                             dx:dx + s * (b_ext - 1) + 1:s, :]
+                    f2, geom = flat2d(tap)
+                    flats.append(f2)
+            w9 = w3.reshape(9 * w3.shape[2], w3.shape[3])
+            acc = unflat(dot2d(jnp.concatenate(flats, axis=1), w9), geom)
+        else:
+            acc = jnp.zeros((a_ext, b_ext, ns.cin), jnp.float32)
+            for dy in range(3):
+                for dx in range(3):
+                    tap = xp[dy:dy + s * (a_ext - 1) + 1:s,
+                             dx:dx + s * (b_ext - 1) + 1:s, :]
+                    acc = acc + mm(tap, w3[dy, dx])
         x = mask_zero(act(acc + bp[...].reshape(1, 1, ns.cin)),
                       p).astype(dt)
     else:
@@ -345,15 +361,25 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         xa = x[p:p + th, p:p + w, :]
         members["a"] = bias_act(mm(xa, wa), ba).astype(dt)
 
-    # transition 1x1 as a sum of per-member matmuls (the concat never
-    # materializes; f32 partials stay in VMEM)
-    acc = jnp.zeros((th, w, ns.cout), jnp.float32)
-    off = 0
     wt_all = wt[...]
-    for m in ns.members:
-        cm = ns.member_width(m)
-        acc = acc + mm(members[m], wt_all[off:off + cm, :])
-        off += cm
+    if ns.concat_trans and ns.flat_mm:
+        # one K=concat_width matmul over the lane-concatenated members:
+        # concat is legal between 2-D flattened operands, and the MXU
+        # accumulates internally instead of members-1 f32 VMEM adds
+        flats = []
+        for m in ns.members:
+            f2, geom = flat2d(members[m])
+            flats.append(f2)
+        acc = unflat(dot2d(jnp.concatenate(flats, axis=1), wt_all), geom)
+    else:
+        # transition 1x1 as a sum of per-member matmuls (the concat
+        # never materializes; f32 partials stay in VMEM)
+        acc = jnp.zeros((th, w, ns.cout), jnp.float32)
+        off = 0
+        for m in ns.members:
+            cm = ns.member_width(m)
+            acc = acc + mm(members[m], wt_all[off:off + cm, :])
+            off += cm
     out = bias_act(acc, bt).astype(out_ref.dtype)
     out_ref[...] = out[None]
 
@@ -372,9 +398,9 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
     with BN scale pre-folded (see models/fused.pack_elan_weights).
     Returns (B, H, W, cout) in x.dtype.
     """
-    if shape.im2col9 and not shape.flat_mm:
-        # im2col9 is defined in flat (2-D) space only; normalize rather
-        # than silently running the taps path under the im2col9 label
+    if (shape.im2col9 or shape.concat_trans) and not shape.flat_mm:
+        # im2col9 / concat_trans are defined in flat (2-D) space only;
+        # normalize rather than silently running the taps path
         shape = dataclasses.replace(shape, flat_mm=True)
     bsz = x.shape[0]
     if shape.has_pre:

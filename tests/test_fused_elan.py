@@ -82,7 +82,8 @@ def test_kernel_flat_mm_variant():
     for extra in ({"flat_mm": True},
                   {"flat_mm": True, "im2col": True},
                   {"flat_mm": True, "im2col9": True},
-                  {"flat_mm": True, "im2col9": True, "pack_ab": True}):
+                  {"flat_mm": True, "im2col9": True, "pack_ab": True},
+                  {"im2col9": True, "pack_ab": True, "concat_trans": True}):
         got = fused_elan(x, ws, ElanShape(**base, **extra), th=8,
                          interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
