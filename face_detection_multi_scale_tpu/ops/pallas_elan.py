@@ -94,6 +94,13 @@ class ElanShape:
     # members-1 full-size f32 accumulator adds and widens K to
     # concat_width.
     concat_trans: bool = False
+    # host_pad=True: the caller jnp.pads the input with the halo ring
+    # before the pallas_call (one full extra HBM copy of x per
+    # invocation).  host_pad=False DMAs straight from the unpadded
+    # input with row-clamped copies at the image borders; the ring
+    # comes from the in-kernel masks (1x1-branch outputs) plus
+    # explicit scratch zeroing where a 3x3 mixes positions (pre conv).
+    host_pad: bool = True
     # perf-ablation knob (tools/bench_elan --kernels ...+nomask): skip
     # the SAME-pad ring zeroing.  NUMERICALLY WRONG near borders — only
     # for isolating the masks' VPU cost on-chip, never for serving.
@@ -246,21 +253,96 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     nstrips = pl.num_programs(1)
     s = ns.pre_stride if ns.has_pre else 1
     la = s * (a_ext - 1) + 3 if ns.has_pre else a_ext
+    # src-row pad ahead of true row 0 in the padded coordinate frame
+    # (host_pad: the rows physically exist; else they are clamped away)
+    q0 = s * p + 1 if ns.has_pre else p
 
-    def strip_dma(s2, slot):
-        return pltpu.make_async_copy(
-            x_hbm.at[bi, pl.ds(s * s2 * th, la)],
-            xs_ref.at[slot], sem.at[slot])
+    if ns.host_pad:
+        def strip_ops(s2, slot):
+            return [(None, pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(s * s2 * th, la)],
+                xs_ref.at[slot], sem.at[slot]))]
+    else:
+        # clamped copies straight from the unpadded input: strip s2
+        # wants true rows [s*s2*th - q0, +la) — the first/last strip
+        # clamp to the image and leave the ring rows to the zeroing
+        # below.  Every case has a STATIC length so the descriptors
+        # lower; conditions pick exactly one per (s2, nstrips).
+        hs = x_hbm.shape[1]          # s*h (pre) or h
+        ws_img = x_hbm.shape[2]      # s*w (pre) or w
+
+        last0 = s * (nstrips - 1) * th - q0   # static src row of last strip
+
+        def strip_ops(s2, slot):
+            def cp(src0, dst0, n):
+                return pltpu.make_async_copy(
+                    x_hbm.at[bi, pl.ds(src0, n)],
+                    xs_ref.at[slot, pl.ds(dst0, n), pl.ds(q0, ws_img)],
+                    sem.at[slot])
+            if nstrips == 1:
+                return [(None, cp(0, q0, hs))]
+            ops = [(s2 == 0, cp(0, q0, la - q0)),
+                   (s2 == nstrips - 1, cp(last0, 0, hs - last0))]
+            if nstrips > 2:  # a mid descriptor only exists (and only
+                #              fits the operand) when middle strips do
+                ops.append(((s2 > 0) & (s2 < nstrips - 1),
+                            cp(s * s2 * th - q0, 0, la)))
+            return ops
+
+    def strip_start(s2, slot):
+        for cond, c in strip_ops(s2, slot):
+            if cond is None:
+                c.start()
+            else:
+                pl.when(cond)(lambda c=c: c.start())
+
+    def strip_wait(s2, slot):
+        for cond, c in strip_ops(s2, slot):
+            if cond is None:
+                c.wait()
+            else:
+                pl.when(cond)(lambda c=c: c.wait())
 
     @pl.when(si == 0)
     def _():
-        strip_dma(si, si % 2).start()
+        strip_start(si, si % 2)
 
     @pl.when(si + 1 < nstrips)
     def _():
-        strip_dma(si + 1, (si + 1) % 2).start()
+        strip_start(si + 1, (si + 1) % 2)
 
-    strip_dma(si, si % 2).wait()
+    strip_wait(si, si % 2)
+
+    if not ns.host_pad and ns.has_pre:
+        # the pre 3x3 mixes positions BEFORE any mask, so its input
+        # ring must be true zeros: clear the col bands every strip and
+        # the top/bottom row bands on the border strips.  (Without a
+        # pre conv the 1x1 outputs are ring-masked after, so garbage
+        # halo inputs never escape and no zeroing is needed.)
+        slot = si % 2
+        n_scr = xs_ref.shape[1]
+        wid = xs_ref.shape[2]
+        zc = jnp.zeros((n_scr, q0, ns.pre_cin), xs_ref.dtype)
+        xs_ref[slot, :, :q0] = zc
+        wr = wid - (q0 + ws_img)
+        if wr > 0:
+            xs_ref[slot, :, q0 + ws_img:] = \
+                jnp.zeros((n_scr, wr, ns.pre_cin), xs_ref.dtype)
+
+        @pl.when(si == 0)
+        def _():
+            xs_ref[slot, :q0] = jnp.zeros(
+                (q0, wid, ns.pre_cin), xs_ref.dtype)
+
+        # rows the last strip's clamped copy leaves stale (static)
+        last_written = (q0 + hs) if nstrips == 1 else \
+            hs - (s * (nstrips - 1) * th - q0)
+        nb = n_scr - last_written
+        if nb > 0:
+            @pl.when(si == nstrips - 1)
+            def _():
+                xs_ref[slot, last_written:] = jnp.zeros(
+                    (nb, wid, ns.pre_cin), xs_ref.dtype)
 
     if ns.has_pre:
         # the absorbed 3x3 (stride s) runs on the fetched pre strip to
@@ -424,6 +506,10 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
     # columns (masked to zero in-kernel) so every scratch is aligned.
     wpad = -(w + 2 * p) % 16
     b_ext = w + 2 * p + wpad
+    if not shape.host_pad:
+        # the kernel's clamped border copies need at least one full
+        # halo inside every interior strip
+        assert th >= p + (1 if shape.has_pre else 0), (th, p)
     if shape.has_pre:
         # pad so that padded row s*g + dy (dy in 0..2) is the absorbed
         # conv's tap row s*g + dy - 1 of the true input, with the group
@@ -432,13 +518,15 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
         q = s * p + 1
         w_pre = s * (b_ext - 1) + 3
         w_pre += -w_pre % 16
-        xp = jnp.pad(x, ((0, 0), (q, q), (q, w_pre - q - s * w), (0, 0)))
+        xp = x if not shape.host_pad else jnp.pad(
+            x, ((0, 0), (q, q), (q, w_pre - q - s * w), (0, 0)))
         scratch_x = pltpu.VMEM(
             (2, s * (th + 2 * p - 1) + 3, w_pre, shape.pre_cin), x.dtype)
     else:
-        xp = jnp.pad(x, ((0, 0), (p, p), (p, p + wpad), (0, 0)))
+        xp = x if not shape.host_pad else jnp.pad(
+            x, ((0, 0), (p, p), (p, p + wpad), (0, 0)))
         scratch_x = pltpu.VMEM((2, th + 2 * p, b_ext, shape.cin), x.dtype)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] + \
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
     kern = functools.partial(_elan_kernel, shape=shape, h=h, w=w, th=th,
                              wpad=wpad)

@@ -83,11 +83,30 @@ def test_kernel_flat_mm_variant():
                   {"flat_mm": True, "im2col": True},
                   {"flat_mm": True, "im2col9": True},
                   {"flat_mm": True, "im2col9": True, "pack_ab": True},
-                  {"im2col9": True, "pack_ab": True, "concat_trans": True}):
+                  {"im2col9": True, "pack_ab": True, "concat_trans": True},
+                  {"im2col9": True, "concat_trans": True,
+                   "host_pad": False}):
         got = fused_elan(x, ws, ElanShape(**base, **extra), th=8,
                          interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("th", [8, 16])
+def test_kernel_no_host_pad(th):
+    """host_pad=False DMAs from the unpadded input with clamped border
+    copies; th=8 exercises first/middle/last strips, th=16 the
+    single-strip case."""
+    rng = np.random.RandomState(5)
+    shape = ElanShape(cin=12, ccv=8, cch=8, cout=16, n_chain=2,
+                      members=("y2", "y1", "b", "a"), act="silu",
+                      host_pad=False)
+    x = jnp.asarray(rng.randn(2, 16, 20, 12), jnp.float32)
+    ws = _rand_weights(rng, shape)
+    ref = reference_elan(x, ws, shape)
+    got = fused_elan(x, ws, shape, th=th, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize("stride", [1, 2])

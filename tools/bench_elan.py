@@ -46,6 +46,8 @@ def resolve_variant(base_shape, expr):
             shp = _dc.replace(shp, pack_ab=True)
         elif part == "ct":
             shp = _dc.replace(shp, flat_mm=True, concat_trans=True)
+        elif part == "nopad":
+            shp = _dc.replace(shp, host_pad=False)
         elif part == "relu":
             shp = _dc.replace(shp, act="relu")
         elif part == "nomask":
