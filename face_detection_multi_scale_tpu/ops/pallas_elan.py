@@ -101,6 +101,11 @@ class ElanShape:
     # comes from the in-kernel masks (1x1-branch outputs) plus
     # explicit scratch zeroing where a 3x3 mixes positions (pre conv).
     host_pad: bool = True
+    # images per grid cell (flat_mm only): the G strips flatten into
+    # one G*rows*cols16 M dim, so small-spatial blocks stop being
+    # M-starved (w6's 40 px groups run M=672 matmuls at group=1) and
+    # each cell's DMA covers G images.  VMEM scales by G.
+    group: int = 1
     # perf-ablation knob (tools/bench_elan --kernels ...+nomask): skip
     # the SAME-pad ring zeroing.  NUMERICALLY WRONG near borders — only
     # for isolating the masks' VPU cost on-chip, never for serving.
@@ -155,7 +160,8 @@ def strip_footprint(shape: ElanShape, th: int, w: int, itemsize: int) -> int:
         total += (a - 2) * bw * 9 * max(shape.ccv, shape.cch) * itemsize
     total += th * w * shape.ccv * itemsize               # a branch (center)
     total += th * w * shape.cout * 4                     # f32 accumulator
-    # weights resident in VMEM
+    total *= shape.group                # per-image activations scale
+    # weights resident in VMEM (shared across the image group)
     total += (2 * shape.cin * shape.ccv
               + 9 * shape.ccv * shape.cch
               + 9 * (shape.n_chain - 1) * shape.cch * shape.cch
@@ -202,18 +208,23 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     a_ext, b_ext = th + 2 * p, w + 2 * p + wpad
 
     def flat2d(arr):
-        # (rows, cols, k) -> (rows*cols16, k) with cols sublane-padded
-        # to 16 so the collapse is tile-exact
-        aq, bq, kk = arr.shape
+        # (..., rows, cols, k) -> (prod(lead)*rows*cols16, k) with cols
+        # sublane-padded to 16 so the collapse is tile-exact; leading
+        # dims (the image group) fold into M for free
+        *lead, aq, bq, kk = arr.shape
         bq16 = bq + (-bq % 16)
         if bq16 != bq:
-            arr = jnp.pad(arr, ((0, 0), (0, bq16 - bq), (0, 0)))
-        return arr.reshape(aq * bq16, kk), (aq, bq, bq16)
+            pads = [(0, 0)] * len(lead) + [(0, 0), (0, bq16 - bq), (0, 0)]
+            arr = jnp.pad(arr, pads)
+        m = aq * bq16
+        for d in lead:
+            m *= d
+        return arr.reshape(m, kk), (tuple(lead), aq, bq, bq16)
 
     def unflat(y2, geom):
-        aq, bq, bq16 = geom
-        y = y2.reshape(aq, bq16, y2.shape[-1])
-        return y[:, :bq, :] if bq16 != bq else y
+        lead, aq, bq, bq16 = geom
+        y = y2.reshape(*lead, aq, bq16, y2.shape[-1])
+        return y[..., :bq, :] if bq16 != bq else y
 
     def dot2d(a2, wmat):
         return jax.lax.dot_general(
@@ -226,7 +237,8 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             a2, geom = flat2d(arr)
             return unflat(dot2d(a2, wmat), geom)
         return jax.lax.dot_general(
-            arr, wmat, dimension_numbers=(((2,), (0,)), ((), ())),
+            arr, wmat,
+            dimension_numbers=(((arr.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     def bias_act(acc, bref):
@@ -234,11 +246,13 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         return act(acc + bref[...].reshape(1, 1, n))
 
     def mask_zero(arr, q):
-        # arr[r, c] holds image row si*th + r - q, col c - q; zero the
-        # out-of-domain ring so downstream taps see SAME-pad zeros
+        # arr[..., r, c, :] holds image row si*th + r - q, col c - q;
+        # zero the out-of-domain ring so downstream taps see SAME-pad
+        # zeros.  The (rows, cols, 1) mask broadcasts over any leading
+        # image-group dim.
         if ns.debug_skip_mask:
             return arr
-        aq, bq, _ = arr.shape
+        aq, bq = arr.shape[-3], arr.shape[-2]
         rid = jax.lax.broadcasted_iota(jnp.int32, (aq, bq, 1), 0)
         cid = jax.lax.broadcasted_iota(jnp.int32, (aq, bq, 1), 1)
         grow = rid + (si * th - q)
@@ -257,10 +271,12 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     # (host_pad: the rows physically exist; else they are clamped away)
     q0 = s * p + 1 if ns.has_pre else p
 
+    G = ns.group
+
     if ns.host_pad:
         def strip_ops(s2, slot):
             return [(None, pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(s * s2 * th, la)],
+                x_hbm.at[pl.ds(bi * G, G), pl.ds(s * s2 * th, la)],
                 xs_ref.at[slot], sem.at[slot]))]
     else:
         # clamped copies straight from the unpadded input: strip s2
@@ -276,8 +292,8 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         def strip_ops(s2, slot):
             def cp(src0, dst0, n):
                 return pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds(src0, n)],
-                    xs_ref.at[slot, pl.ds(dst0, n), pl.ds(q0, ws_img)],
+                    x_hbm.at[pl.ds(bi * G, G), pl.ds(src0, n)],
+                    xs_ref.at[slot, :, pl.ds(dst0, n), pl.ds(q0, ws_img)],
                     sem.at[slot])
             if nstrips == 1:
                 return [(None, cp(0, q0, hs))]
@@ -320,19 +336,19 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         # pre conv the 1x1 outputs are ring-masked after, so garbage
         # halo inputs never escape and no zeroing is needed.)
         slot = si % 2
-        n_scr = xs_ref.shape[1]
-        wid = xs_ref.shape[2]
-        zc = jnp.zeros((n_scr, q0, ns.pre_cin), xs_ref.dtype)
-        xs_ref[slot, :, :q0] = zc
+        n_scr = xs_ref.shape[2]
+        wid = xs_ref.shape[3]
+        xs_ref[slot, :, :, :q0] = jnp.zeros(
+            (G, n_scr, q0, ns.pre_cin), xs_ref.dtype)
         wr = wid - (q0 + ws_img)
         if wr > 0:
-            xs_ref[slot, :, q0 + ws_img:] = \
-                jnp.zeros((n_scr, wr, ns.pre_cin), xs_ref.dtype)
+            xs_ref[slot, :, :, q0 + ws_img:] = \
+                jnp.zeros((G, n_scr, wr, ns.pre_cin), xs_ref.dtype)
 
         @pl.when(si == 0)
         def _():
-            xs_ref[slot, :q0] = jnp.zeros(
-                (q0, wid, ns.pre_cin), xs_ref.dtype)
+            xs_ref[slot, :, :q0] = jnp.zeros(
+                (G, q0, wid, ns.pre_cin), xs_ref.dtype)
 
         # rows the last strip's clamped copy leaves stale (static)
         last_written = (q0 + hs) if nstrips == 1 else \
@@ -341,8 +357,8 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         if nb > 0:
             @pl.when(si == nstrips - 1)
             def _():
-                xs_ref[slot, last_written:] = jnp.zeros(
-                    (nb, wid, ns.pre_cin), xs_ref.dtype)
+                xs_ref[slot, :, last_written:] = jnp.zeros(
+                    (G, nb, wid, ns.pre_cin), xs_ref.dtype)
 
     if ns.has_pre:
         # the absorbed 3x3 (stride s) runs on the fetched pre strip to
@@ -354,19 +370,20 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             flats = []
             for dy in range(3):
                 for dx in range(3):
-                    tap = xp[dy:dy + s * (a_ext - 1) + 1:s,
+                    tap = xp[:, dy:dy + s * (a_ext - 1) + 1:s,
                              dx:dx + s * (b_ext - 1) + 1:s, :]
                     f2, geom = flat2d(tap)
                     flats.append(f2)
             w9 = w3.reshape(9 * w3.shape[2], w3.shape[3])
             acc = unflat(dot2d(jnp.concatenate(flats, axis=1), w9), geom)
         else:
-            acc = jnp.zeros((a_ext, b_ext, ns.cin), jnp.float32)
+            acc = None
             for dy in range(3):
                 for dx in range(3):
-                    tap = xp[dy:dy + s * (a_ext - 1) + 1:s,
+                    tap = xp[:, dy:dy + s * (a_ext - 1) + 1:s,
                              dx:dx + s * (b_ext - 1) + 1:s, :]
-                    acc = acc + mm(tap, w3[dy, dx])
+                    t = mm(tap, w3[dy, dx])
+                    acc = t if acc is None else acc + t
         x = mask_zero(act(acc + bp[...].reshape(1, 1, ns.cin)),
                       p).astype(dt)
     else:
@@ -382,8 +399,8 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         wab = jnp.concatenate([wb[...], wa[...]], axis=1)
         bab = jnp.concatenate([bb[...], ba[...]], axis=1)
         yab = bias_act(mm(x, wab), bab)
-        yb = mask_zero(yab[:, :, :ns.ccv], p).astype(dt)
-        ya_packed = yab[p:p + th, p:p + w, ns.ccv:].astype(dt)
+        yb = mask_zero(yab[..., :ns.ccv], p).astype(dt)
+        ya_packed = yab[:, p:p + th, p:p + w, ns.ccv:].astype(dt)
     else:
         yb = mask_zero(bias_act(mm(x, wb), bb), p).astype(dt)
 
@@ -393,7 +410,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     for k in range(ns.n_chain):
         wk, bk = chain[k]
         w3 = wk[...]  # (3, 3, c_in_k, cch)
-        aq, bq = cur.shape[0] - 2, cur.shape[1] - 2
+        aq, bq = cur.shape[-3] - 2, cur.shape[-2] - 2
         if ns.im2col9 and ns.flat_mm:
             # all 9 taps flattened to 2-D then lane-concatenated: one
             # (M, 9*c) @ (9*c, cch) matmul per chain conv.  Legal only
@@ -402,7 +419,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             flats = []
             for dy in range(3):
                 for dx in range(3):
-                    f2, geom = flat2d(cur[dy:dy + aq, dx:dx + bq, :])
+                    f2, geom = flat2d(cur[:, dy:dy + aq, dx:dx + bq, :])
                     flats.append(f2)
             cols = jnp.concatenate(flats, axis=1)
             w9 = w3.reshape(9 * w3.shape[2], w3.shape[3])
@@ -415,32 +432,33 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             # dx (or 9-way) concat is rejected ("result/input offset
             # mismatch on non-concat dimension", measured 2026-08-17).
             # K still widens 3x (3*cch) — the MXU win for narrow chains.
-            acc = jnp.zeros((aq, bq, ns.cch), jnp.float32)
+            acc = None
             for dx in range(3):
                 cols = jnp.concatenate(
-                    [cur[dy:dy + aq, dx:dx + bq, :] for dy in range(3)],
-                    axis=-1)
-                acc = acc + mm(
-                    cols, w3[:, dx].reshape(3 * w3.shape[2], w3.shape[3]))
+                    [cur[:, dy:dy + aq, dx:dx + bq, :]
+                     for dy in range(3)], axis=-1)
+                t = mm(cols,
+                       w3[:, dx].reshape(3 * w3.shape[2], w3.shape[3]))
+                acc = t if acc is None else acc + t
         else:
-            acc = jnp.zeros((aq, bq, ns.cch), jnp.float32)
+            acc = None
             for dy in range(3):
                 for dx in range(3):
-                    acc = acc + mm(cur[dy:dy + aq, dx:dx + bq, :],
-                                   w3[dy, dx])
+                    t = mm(cur[:, dy:dy + aq, dx:dx + bq, :], w3[dy, dx])
+                    acc = t if acc is None else acc + t
         q -= 1
         cur = mask_zero(bias_act(acc, bk), q).astype(dt)
         ys.append((cur, q))
 
     members: Dict[str, jnp.ndarray] = {
-        "b": yb[p:p + th, p:p + w, :],
+        "b": yb[:, p:p + th, p:p + w, :],
     }
     for k, (y, q) in enumerate(ys):
-        members[f"y{k + 1}"] = y[q:q + th, q:q + w, :]
+        members[f"y{k + 1}"] = y[:, q:q + th, q:q + w, :]
     if ya_packed is not None:
         members["a"] = ya_packed
     elif "a" in ns.members:
-        xa = x[p:p + th, p:p + w, :]
+        xa = x[:, p:p + th, p:p + w, :]
         members["a"] = bias_act(mm(xa, wa), ba).astype(dt)
 
     wt_all = wt[...]
@@ -456,14 +474,15 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
     else:
         # transition 1x1 as a sum of per-member matmuls (the concat
         # never materializes; f32 partials stay in VMEM)
-        acc = jnp.zeros((th, w, ns.cout), jnp.float32)
+        acc = None
         off = 0
         for m in ns.members:
             cm = ns.member_width(m)
-            acc = acc + mm(members[m], wt_all[off:off + cm, :])
+            t = mm(members[m], wt_all[off:off + cm, :])
+            acc = t if acc is None else acc + t
             off += cm
     out = bias_act(acc, bt).astype(out_ref.dtype)
-    out_ref[...] = out[None]
+    out_ref[...] = out.reshape(out_ref.shape)
 
 
 def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
@@ -480,11 +499,14 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
     with BN scale pre-folded (see models/fused.pack_elan_weights).
     Returns (B, H, W, cout) in x.dtype.
     """
-    if (shape.im2col9 or shape.concat_trans) and not shape.flat_mm:
-        # im2col9 / concat_trans are defined in flat (2-D) space only;
-        # normalize rather than silently running the taps path
+    if (shape.im2col9 or shape.concat_trans or shape.group > 1) \
+            and not shape.flat_mm:
+        # im2col9 / concat_trans / image grouping are defined in flat
+        # (2-D) space only; normalize rather than silently running the
+        # taps path
         shape = dataclasses.replace(shape, flat_mm=True)
     bsz = x.shape[0]
+    assert bsz % shape.group == 0, (bsz, shape.group)
     if shape.has_pre:
         s = shape.pre_stride
         assert x.shape[3] == shape.pre_cin, (x.shape, shape.pre_cin)
@@ -521,20 +543,22 @@ def fused_elan(x: jnp.ndarray, weights: Sequence[jnp.ndarray],
         xp = x if not shape.host_pad else jnp.pad(
             x, ((0, 0), (q, q), (q, w_pre - q - s * w), (0, 0)))
         scratch_x = pltpu.VMEM(
-            (2, s * (th + 2 * p - 1) + 3, w_pre, shape.pre_cin), x.dtype)
+            (2, shape.group, s * (th + 2 * p - 1) + 3, w_pre,
+             shape.pre_cin), x.dtype)
     else:
         xp = x if not shape.host_pad else jnp.pad(
             x, ((0, 0), (p, p), (p, p + wpad), (0, 0)))
-        scratch_x = pltpu.VMEM((2, th + 2 * p, b_ext, shape.cin), x.dtype)
+        scratch_x = pltpu.VMEM(
+            (2, shape.group, th + 2 * p, b_ext, shape.cin), x.dtype)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] + \
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(weights)
     kern = functools.partial(_elan_kernel, shape=shape, h=h, w=w, th=th,
                              wpad=wpad)
     return pl.pallas_call(
         kern,
-        grid=(bsz, h // th),
+        grid=(bsz // shape.group, h // th),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, th, w, shape.cout),
+        out_specs=pl.BlockSpec((shape.group, th, w, shape.cout),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, shape.cout), x.dtype),

@@ -85,7 +85,9 @@ def test_kernel_flat_mm_variant():
                   {"flat_mm": True, "im2col9": True, "pack_ab": True},
                   {"im2col9": True, "pack_ab": True, "concat_trans": True},
                   {"im2col9": True, "concat_trans": True,
-                   "host_pad": False}):
+                   "host_pad": False},
+                  {"im2col9": True, "concat_trans": True, "group": 2},
+                  {"group": 2, "host_pad": False}):
         got = fused_elan(x, ws, ElanShape(**base, **extra), th=8,
                          interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),

@@ -48,6 +48,8 @@ def resolve_variant(base_shape, expr):
             shp = _dc.replace(shp, flat_mm=True, concat_trans=True)
         elif part == "nopad":
             shp = _dc.replace(shp, host_pad=False)
+        elif part.startswith("g") and part[1:].isdigit():
+            shp = _dc.replace(shp, flat_mm=True, group=int(part[1:]))
         elif part == "relu":
             shp = _dc.replace(shp, act="relu")
         elif part == "nomask":
