@@ -273,11 +273,23 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
 
     G = ns.group
 
+    def src_at(rows):
+        # group=1 keeps the exact descriptor ranks that compiled on
+        # chip before the group refactor; G>1 adds the leading dim
+        if G == 1:
+            return x_hbm.at[bi, rows]
+        return x_hbm.at[pl.ds(bi * G, G), rows]
+
+    def dst_at(slot, *idx):
+        if G == 1:
+            return xs_ref.at[(slot, 0) + idx]
+        return xs_ref.at[(slot, slice(None)) + idx]
+
     if ns.host_pad:
         def strip_ops(s2, slot):
             return [(None, pltpu.make_async_copy(
-                x_hbm.at[pl.ds(bi * G, G), pl.ds(s * s2 * th, la)],
-                xs_ref.at[slot], sem.at[slot]))]
+                src_at(pl.ds(s * s2 * th, la)),
+                dst_at(slot), sem.at[slot]))]
     else:
         # clamped copies straight from the unpadded input: strip s2
         # wants true rows [s*s2*th - q0, +la) — the first/last strip
@@ -292,8 +304,8 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         def strip_ops(s2, slot):
             def cp(src0, dst0, n):
                 return pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(bi * G, G), pl.ds(src0, n)],
-                    xs_ref.at[slot, :, pl.ds(dst0, n), pl.ds(q0, ws_img)],
+                    src_at(pl.ds(src0, n)),
+                    dst_at(slot, pl.ds(dst0, n), pl.ds(q0, ws_img)),
                     sem.at[slot])
             if nstrips == 1:
                 return [(None, cp(0, q0, hs))]
@@ -338,17 +350,30 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         slot = si % 2
         n_scr = xs_ref.shape[2]
         wid = xs_ref.shape[3]
-        xs_ref[slot, :, :, :q0] = jnp.zeros(
-            (G, n_scr, q0, ns.pre_cin), xs_ref.dtype)
+
+        def zstore(rows, cols, shape3):
+            z3 = jnp.zeros(shape3, xs_ref.dtype)
+            if G == 1:
+                xs_ref[slot, 0, rows, cols] = z3
+            else:
+                xs_ref[slot, :, rows, cols] = \
+                    jnp.broadcast_to(z3, (G,) + shape3)
+
+        # the DMA never writes the col bands, so each slot's bands stay
+        # zero after its first use: one pass per slot (si < 2) suffices
         wr = wid - (q0 + ws_img)
-        if wr > 0:
-            xs_ref[slot, :, :, q0 + ws_img:] = \
-                jnp.zeros((G, n_scr, wr, ns.pre_cin), xs_ref.dtype)
+
+        @pl.when(si < 2)
+        def _():
+            zstore(slice(None), slice(0, q0),
+                   (n_scr, q0, ns.pre_cin))
+            if wr > 0:
+                zstore(slice(None), slice(q0 + ws_img, wid),
+                       (n_scr, wr, ns.pre_cin))
 
         @pl.when(si == 0)
         def _():
-            xs_ref[slot, :, :q0] = jnp.zeros(
-                (G, q0, wid, ns.pre_cin), xs_ref.dtype)
+            zstore(slice(0, q0), slice(None), (q0, wid, ns.pre_cin))
 
         # rows the last strip's clamped copy leaves stale (static)
         last_written = (q0 + hs) if nstrips == 1 else \
@@ -357,20 +382,25 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         if nb > 0:
             @pl.when(si == nstrips - 1)
             def _():
-                xs_ref[slot, :, last_written:] = jnp.zeros(
-                    (G, nb, wid, ns.pre_cin), xs_ref.dtype)
+                zstore(slice(last_written, n_scr), slice(None),
+                       (nb, wid, ns.pre_cin))
+
+    # group=1 squeezes the G dim so every traced vector keeps the rank
+    # that already compiled on chip; G>1 carries it (flat2d folds it
+    # into M, masks/biases broadcast from the right)
+    xg = xs_ref[si % 2, 0] if G == 1 else xs_ref[si % 2]
 
     if ns.has_pre:
         # the absorbed 3x3 (stride s) runs on the fetched pre strip to
         # materialize the group input only in VMEM
-        xp = xs_ref[si % 2]
+        xp = xg
         dt = xp.dtype
         w3 = wp[...]
         if ns.im2col9 and ns.flat_mm:
             flats = []
             for dy in range(3):
                 for dx in range(3):
-                    tap = xp[:, dy:dy + s * (a_ext - 1) + 1:s,
+                    tap = xp[..., dy:dy + s * (a_ext - 1) + 1:s,
                              dx:dx + s * (b_ext - 1) + 1:s, :]
                     f2, geom = flat2d(tap)
                     flats.append(f2)
@@ -380,7 +410,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             acc = None
             for dy in range(3):
                 for dx in range(3):
-                    tap = xp[:, dy:dy + s * (a_ext - 1) + 1:s,
+                    tap = xp[..., dy:dy + s * (a_ext - 1) + 1:s,
                              dx:dx + s * (b_ext - 1) + 1:s, :]
                     t = mm(tap, w3[dy, dx])
                     acc = t if acc is None else acc + t
@@ -388,7 +418,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
                       p).astype(dt)
     else:
         # halo'd strip: rows [si*th, si*th + th + 2p) of the padded input
-        x = xs_ref[si % 2]
+        x = xg
         dt = x.dtype
 
     # chain input branch "b": 1x1 over the full ext strip
@@ -400,7 +430,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
         bab = jnp.concatenate([bb[...], ba[...]], axis=1)
         yab = bias_act(mm(x, wab), bab)
         yb = mask_zero(yab[..., :ns.ccv], p).astype(dt)
-        ya_packed = yab[:, p:p + th, p:p + w, ns.ccv:].astype(dt)
+        ya_packed = yab[..., p:p + th, p:p + w, ns.ccv:].astype(dt)
     else:
         yb = mask_zero(bias_act(mm(x, wb), bb), p).astype(dt)
 
@@ -419,7 +449,8 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             flats = []
             for dy in range(3):
                 for dx in range(3):
-                    f2, geom = flat2d(cur[:, dy:dy + aq, dx:dx + bq, :])
+                    f2, geom = flat2d(
+                        cur[..., dy:dy + aq, dx:dx + bq, :])
                     flats.append(f2)
             cols = jnp.concatenate(flats, axis=1)
             w9 = w3.reshape(9 * w3.shape[2], w3.shape[3])
@@ -435,7 +466,7 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             acc = None
             for dx in range(3):
                 cols = jnp.concatenate(
-                    [cur[:, dy:dy + aq, dx:dx + bq, :]
+                    [cur[..., dy:dy + aq, dx:dx + bq, :]
                      for dy in range(3)], axis=-1)
                 t = mm(cols,
                        w3[:, dx].reshape(3 * w3.shape[2], w3.shape[3]))
@@ -444,21 +475,22 @@ def _elan_kernel(*refs, shape: ElanShape, h: int, w: int, th: int,
             acc = None
             for dy in range(3):
                 for dx in range(3):
-                    t = mm(cur[:, dy:dy + aq, dx:dx + bq, :], w3[dy, dx])
+                    t = mm(cur[..., dy:dy + aq, dx:dx + bq, :],
+                           w3[dy, dx])
                     acc = t if acc is None else acc + t
         q -= 1
         cur = mask_zero(bias_act(acc, bk), q).astype(dt)
         ys.append((cur, q))
 
     members: Dict[str, jnp.ndarray] = {
-        "b": yb[:, p:p + th, p:p + w, :],
+        "b": yb[..., p:p + th, p:p + w, :],
     }
     for k, (y, q) in enumerate(ys):
-        members[f"y{k + 1}"] = y[:, q:q + th, q:q + w, :]
+        members[f"y{k + 1}"] = y[..., q:q + th, q:q + w, :]
     if ya_packed is not None:
         members["a"] = ya_packed
     elif "a" in ns.members:
-        xa = x[:, p:p + th, p:p + w, :]
+        xa = x[..., p:p + th, p:p + w, :]
         members["a"] = bias_act(mm(xa, wa), ba).astype(dt)
 
     wt_all = wt[...]

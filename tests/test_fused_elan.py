@@ -94,16 +94,17 @@ def test_kernel_flat_mm_variant():
                                    atol=2e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("th", [8, 16])
+@pytest.mark.parametrize("th", [8, 32])
 def test_kernel_no_host_pad(th):
     """host_pad=False DMAs from the unpadded input with clamped border
-    copies; th=8 exercises first/middle/last strips, th=16 the
+    copies; th=8 exercises first/MIDDLE/last strips (h=32 gives 4, so
+    the nstrips>2 mid descriptor actually runs), th=32 the
     single-strip case."""
     rng = np.random.RandomState(5)
     shape = ElanShape(cin=12, ccv=8, cch=8, cout=16, n_chain=2,
                       members=("y2", "y1", "b", "a"), act="silu",
                       host_pad=False)
-    x = jnp.asarray(rng.randn(2, 16, 20, 12), jnp.float32)
+    x = jnp.asarray(rng.randn(2, 32, 20, 12), jnp.float32)
     ws = _rand_weights(rng, shape)
     ref = reference_elan(x, ws, shape)
     got = fused_elan(x, ws, shape, th=th, interpret=True)

@@ -194,9 +194,12 @@ def main():
                    "status": "ok"}
             try:
                 if not args.no_check:
-                    xs = pool[0][1][:2]
                     chk = resolve_variant(blk.shape,
                                           args.kernels.split(",")[0])
+                    # check batch must be a multiple of the variant's
+                    # image group or fused_elan's bsz%group assert
+                    # aborts the row before any timing
+                    xs = pool[0][1][:max(2, chk.group)]
                     row["max_abs_diff"] = float(jnp.max(jnp.abs(
                         fused_elan(xs, ws, chk, th=th,
                                    interpret=args.cpu).astype(jnp.float32)
