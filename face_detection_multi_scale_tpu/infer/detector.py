@@ -55,7 +55,7 @@ class FaceDetector:
                  max_candidates: int = 4096, seed: int = 0,
                  mesh=None, fuse: bool = True,
                  use_device_preprocess: bool = False,
-                 fuse_elan: bool = False):
+                 fuse_elan=False):
         if isinstance(model, str):
             spec = zoo.get_spec(model)  # pinned, verified strides
         else:
@@ -108,13 +108,28 @@ class FaceDetector:
         # pixel (see infer/device_preprocess.py)
         self.use_device_preprocess = use_device_preprocess
         # execute E-ELAN groups as single Pallas kernels (VMEM-resident
-        # intermediates, models/fused.py); serving-only HBM-byte saver
-        self.fuse_elan = fuse_elan
+        # intermediates, models/fused.py); serving-only HBM-byte saver.
+        # True fuses with the default kernel; a string selects a
+        # measured variant ("flat+im2col9+ab+ct", optionally prefixed
+        # "pre:" to absorb each group's feeding downsample conv) via
+        # models/fused.apply_variant — the same grammar the on-chip A/B
+        # (tools/bench_elan.py) ranks.
+        self.fuse_elan = bool(fuse_elan)
         self._elan_blocks = None
         if fuse_elan:
+            import dataclasses as _dc
+
             from face_detection_multi_scale_tpu.models.fused import (
-                find_elan_blocks)
-            self._elan_blocks = find_elan_blocks(self.spec)
+                apply_variant, find_elan_blocks)
+            expr = fuse_elan if isinstance(fuse_elan, str) else ""
+            absorb = expr.startswith("pre:")
+            expr = expr[4:] if absorb else expr
+            blocks = find_elan_blocks(self.spec, absorb_pre=absorb)
+            if expr:
+                blocks = [_dc.replace(b, shape=apply_variant(b.shape,
+                                                             expr))
+                          for b in blocks]
+            self._elan_blocks = blocks
         self._exec: Dict[Tuple, object] = {}
         # candidate-truncation telemetry: count of images whose gated
         # candidates exceeded max_candidates (the fixed-capacity accuracy

@@ -39,6 +39,43 @@ from face_detection_multi_scale_tpu.ops import pallas_elan as PE
 BN_EPS = 1e-3  # models/layers.py BatchNorm epsilon
 
 
+def apply_variant(shape: PE.ElanShape, expr: str) -> PE.ElanShape:
+    """Apply a "+"-joined kernel-variant expression to an ElanShape.
+
+    Grammar (shared by tools/bench_elan and the serving path):
+    taps | flat | im2col | im2col9 | ab | ct | nopad | gN, plus the
+    perf-ablation parts relu / nomask (numerics intentionally wrong —
+    bench only).  Legacy "flat_im2col" is accepted.
+    """
+    shp = shape
+    for part in expr.replace("flat_im2col", "flat+im2col").split("+"):
+        if part == "taps":
+            pass
+        elif part == "im2col":
+            shp = dataclasses.replace(shp, im2col=True)
+        elif part == "flat":
+            shp = dataclasses.replace(shp, flat_mm=True)
+        elif part == "im2col9":
+            shp = dataclasses.replace(shp, flat_mm=True, im2col9=True)
+        elif part == "ab":
+            shp = dataclasses.replace(shp, pack_ab=True)
+        elif part == "ct":
+            shp = dataclasses.replace(shp, flat_mm=True,
+                                      concat_trans=True)
+        elif part == "nopad":
+            shp = dataclasses.replace(shp, host_pad=False)
+        elif part.startswith("g") and part[1:].isdigit():
+            shp = dataclasses.replace(shp, flat_mm=True,
+                                      group=int(part[1:]))
+        elif part == "relu":
+            shp = dataclasses.replace(shp, act="relu")
+        elif part == "nomask":
+            shp = dataclasses.replace(shp, debug_skip_mask=True)
+        else:
+            raise ValueError(f"unknown fused-ELAN variant part {part!r}")
+    return shp
+
+
 @dataclasses.dataclass(frozen=True)
 class ElanBlock:
     """One fusable ELAN group located in a spec's node list."""

@@ -257,6 +257,14 @@ def test_detector_fuse_elan_flag():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(d0.boxes), np.asarray(d1.boxes),
                                atol=1e-2)
+    # a variant expression selects the measured kernel + absorbed pre
+    var = FaceDetector(fuse_elan="pre:flat+im2col9+ab+ct", **kw)
+    assert any(b.pre is not None for b in var._elan_blocks)
+    assert all(b.shape.im2col9 and b.shape.concat_trans
+               for b in var._elan_blocks)
+    d2 = var.run_network(img)
+    np.testing.assert_allclose(np.asarray(d0.scores),
+                               np.asarray(d2.scores), atol=1e-4)
 
 
 def test_fused_executor_on_folded_variables():

@@ -26,39 +26,6 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 OUT_PATH = pathlib.Path(__file__).parent / "ELAN_AB.json"
 
 
-def resolve_variant(base_shape, expr):
-    """Build an ElanShape from a "+"-joined variant expression:
-    taps | im2col | im2col9 | flat | ab | relu | nomask (legacy
-    "flat_im2col" accepted).  relu / nomask are perf ablations —
-    numerics intentionally wrong."""
-    import dataclasses as _dc
-    shp = base_shape
-    for part in expr.replace("flat_im2col", "flat+im2col").split("+"):
-        if part == "taps":
-            pass
-        elif part == "im2col":
-            shp = _dc.replace(shp, im2col=True)
-        elif part == "flat":
-            shp = _dc.replace(shp, flat_mm=True)
-        elif part == "im2col9":
-            shp = _dc.replace(shp, flat_mm=True, im2col9=True)
-        elif part == "ab":
-            shp = _dc.replace(shp, pack_ab=True)
-        elif part == "ct":
-            shp = _dc.replace(shp, flat_mm=True, concat_trans=True)
-        elif part == "nopad":
-            shp = _dc.replace(shp, host_pad=False)
-        elif part.startswith("g") and part[1:].isdigit():
-            shp = _dc.replace(shp, flat_mm=True, group=int(part[1:]))
-        elif part == "relu":
-            shp = _dc.replace(shp, act="relu")
-        elif part == "nomask":
-            shp = _dc.replace(shp, debug_skip_mask=True)
-        else:
-            raise SystemExit(f"unknown variant part {part!r}")
-    return shp
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -103,7 +70,8 @@ def main():
 
     from face_detection_multi_scale_tpu.models import zoo
     from face_detection_multi_scale_tpu.models.fused import (
-        find_elan_blocks, fused_apply, pack_elan_weights)
+        apply_variant, find_elan_blocks, fused_apply,
+        pack_elan_weights)
     from face_detection_multi_scale_tpu.models.model import (
         YoloFace, init_model)
     from face_detection_multi_scale_tpu.ops.pallas_elan import (
@@ -194,8 +162,8 @@ def main():
                    "status": "ok"}
             try:
                 if not args.no_check:
-                    chk = resolve_variant(blk.shape,
-                                          args.kernels.split(",")[0])
+                    chk = apply_variant(blk.shape,
+                                        args.kernels.split(",")[0])
                     # check batch must be a multiple of the variant's
                     # image group or fused_elan's bsz%group assert
                     # aborts the row before any timing
@@ -211,7 +179,7 @@ def main():
                     row["xla_ms"] = round(
                         timed(ref, pool, args.iters) / reps * 1e3, 3)
                 for kname in args.kernels.split(","):
-                    shp = resolve_variant(blk.shape, kname)
+                    shp = apply_variant(blk.shape, kname)
                     fused = repeated(
                         lambda ws_, x_, s=shp, t=th: jnp.sum(
                             fused_elan(x_, ws_, s, th=t,
@@ -244,7 +212,7 @@ def main():
         if args.engine_variant != "taps":
             import dataclasses as _dc
             eng_blocks = [
-                _dc.replace(blk, shape=resolve_variant(
+                _dc.replace(blk, shape=apply_variant(
                     blk.shape, args.engine_variant))
                 for blk in eng_blocks]
 
