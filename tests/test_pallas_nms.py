@@ -72,3 +72,28 @@ def test_seq_kernel_matches_fixpoint(b, k, thr, frac):
         want[np.asarray(idx)[np.asarray(v)]] = True
         np.testing.assert_array_equal(keep_seq[i], want,
                                       err_msg=f"batch {i}")
+
+
+def test_mosaic_simulator_seq_kernel():
+    """The serving NMS kernel under the Mosaic SIMULATOR
+    (pltpu.InterpretParams): sequential-grid semantics, bool->i32
+    while-loop carries, NaN-poisoned uninitialized memory — closer to
+    the real lowering than plain interpret."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    interp = pltpu.InterpretParams(
+        detect_races=True, out_of_bounds_reads="raise",
+        uninitialized_memory="nan")
+    boxes, scores, valid = sorted_candidates(2, 1024, seed=29,
+                                             frac_valid=0.7)
+    for kv in ("seq", "fixpoint"):
+        keep = np.asarray(nms_keep_pallas(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5,
+            interpret=interp, kernel_version=kv))
+        for i in range(2):
+            idx, v = N.nms_keep_matrix(boxes[i], np.where(
+                valid[i], scores[i], N.NEG_INF), 0.5, max_det=1024)
+            want = np.zeros(1024, bool)
+            want[np.asarray(idx)[np.asarray(v)]] = True
+            np.testing.assert_array_equal(keep[i], want,
+                                          err_msg=f"{kv} batch {i}")
