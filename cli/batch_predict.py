@@ -46,6 +46,9 @@ def main(argv=None):
                     help="reprocess everything")
     ap.add_argument("--check-progress", action="store_true",
                     help="only report done/partial/missing counts")
+    ap.add_argument("--fuse-elan", nargs="?", const=True,
+                    default=False,
+                    help="fused E-ELAN serving kernels (optional variant expression)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     args = ap.parse_args(argv)
@@ -69,6 +72,7 @@ def main(argv=None):
         args.model, torch_weights=args.weights,
         img_sizes=tuple(args.img_sizes), conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, use_api_preprocess=True,
+        fuse_elan=args.fuse_elan,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     pipeline = ProductionPipeline(
         detector, args.output_dir, args.max_faces_dir,

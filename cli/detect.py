@@ -79,6 +79,11 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0,
                     help="stop stream sources after N frames per stream "
                          "(0 = run until the stream ends)")
+    ap.add_argument("--fuse-elan", nargs="?", const=True,
+                    default=False,
+                    help="execute E-ELAN groups as single Pallas kernels;\n"
+                    "optionally a variant expression, e.g. 'pre:flat+im2col9+ab+ct'\n"
+                    "(models/fused.apply_variant grammar)")
     ap.add_argument("--device-preprocess", action="store_true",
                     help="fuse resize+pad+normalize into the network "
                          "executable (uint8 raw frames are the only H2D "
@@ -105,6 +110,7 @@ def main(argv=None):
                        conf_thres=args.conf_thres,
                        iou_thres=args.iou_thres,
                        use_device_preprocess=args.device_preprocess,
+                       fuse_elan=args.fuse_elan,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
 
