@@ -73,3 +73,21 @@ def test_mosaic_sim_fast(name):
                          [n for n in CASES if n not in FAST])
 def test_mosaic_sim_full(name):
     _run(name)
+
+
+def test_mosaic_sim_real_widths():
+    """elan@3's real channel widths (cin=128, ccv=cch=64) with the full
+    variant stack under the simulator — lane-tile edge cases that toy
+    widths (8/12 channels) cannot reach."""
+    shape = ElanShape(cin=128, ccv=64, cch=64, cout=128, n_chain=2,
+                      members=("y2", "y1", "b", "a"), act="silu",
+                      flat_mm=True, im2col9=True, pack_ab=True,
+                      concat_trans=True, host_pad=False)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 32, 32, 128) * 0.3, jnp.float32)
+    ws = _rand_weights(rng, shape)
+    ref = reference_elan(x, ws, shape)
+    got = fused_elan(x, ws, shape, th=8, interpret=INTERP)
+    assert not bool(jnp.isnan(got).any())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
