@@ -37,8 +37,8 @@ def main():
     # Relay RTT is 35-70 ms; a single block eval is ~1 ms of device
     # work, so naive dispatch+fetch timing measures the tunnel, not the
     # kernel (CLAUDE.md).  --reps K runs the block K times inside ONE
-    # jitted call via fori_loop (with a k-dependent input perturbation
-    # so XLA cannot hoist the loop-invariant body) and reports ms/rep.
+    # jitted call via fori_loop (a k-dependent perturbation of every
+    # BIAS defeats hoisting at negligible cost — see repeated()).
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--only", default="",
                     help="comma list of block start indices to run")
@@ -56,10 +56,11 @@ def main():
     ap.add_argument("--absorb-pre", action="store_true",
                     help="absorb each group's feeding 3x3 downsample")
     ap.add_argument("--th", type=int, default=0,
-                    help="cap the strip height (0 = auto): the largest "
-                    "VMEM-feasible th can exhaust the remote compile "
-                    "helper on big blocks (elan@3@160 th=32 SIGKILLed "
-                    "the AOT subprocess, 2026-08-17)")
+                    help="override the strip height (0 = footprint-"
+                    "model pick): largest divisor of h <= TH, even "
+                    "past the model (the raised scoped-vmem limit "
+                    "makes bigger strips compilable; real bounds "
+                    "surface as per-row compile errors)")
     args = ap.parse_args()
 
     import jax
