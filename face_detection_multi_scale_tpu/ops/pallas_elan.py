@@ -24,9 +24,12 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
     masking each intermediate to zero outside the true image domain
     (halo positions beyond the border would otherwise hold act(bias)).
   * Strips overlap by the halo, which plain BlockSpec index maps cannot
-    express, so the (pre-padded) input stays in HBM (`pltpu.ANY`) and
-    each cell issues its own `make_async_copy`.  Strip DMA is ~2 µs vs
-    ~40 µs of matmul per cell, so no double buffering is needed.
+    express, so the input stays in HBM (`pl.ANY`) and each cell issues
+    its own `make_async_copy`, double-buffered: strip si+1 prefetches
+    into the other scratch slot while si computes.  With
+    `host_pad=False` the copies clamp at the image borders and the
+    SAME-pad ring comes from masks (+ scratch zeroing for the absorbed
+    pre conv, whose 3x3 mixes positions before any mask).
   * BN is consumed in folded scale/bias form (models/fuse.py semantics):
     callers pass per-conv (kernel*, bias) with the BN scale already
     multiplied into the kernel.  The kernel applies act(dot + bias).
