@@ -67,6 +67,9 @@ def apply_variant(shape: PE.ElanShape, expr: str) -> PE.ElanShape:
         elif part.startswith("g") and part[1:].isdigit():
             shp = dataclasses.replace(shp, flat_mm=True,
                                       group=int(part[1:]))
+        elif part.startswith("b") and part[1:].isdigit():
+            shp = dataclasses.replace(shp,
+                                      vmem_budget_mb=int(part[1:]))
         elif part == "relu":
             shp = dataclasses.replace(shp, act="relu")
         elif part == "nomask":

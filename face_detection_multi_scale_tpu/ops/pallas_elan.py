@@ -48,13 +48,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM working-set budget for feasibility checks (bytes), measured
-# against strip_footprint's ESTIMATE.  Mosaic's real scoped-stack
-# allocation runs ~4x the estimate (elan@12@80 th=16: est 5.9 MB,
-# compiler reported 22.05 MB, 2026-08-17), so 12 MB estimated ~= 48 MB
-# real — which is why fused_elan raises the kernel's scoped-vmem limit
-# (default 16 MB) to VMEM_LIMIT; v5e has 128 MB VMEM per core.
-VMEM_BUDGET = 12 * 1024 * 1024
+# Feasibility budgets check strip_footprint's ESTIMATE
+# (ElanShape.vmem_budget_mb, default 12 MB).  Mosaic's real scoped-
+# stack allocation runs ~4x the estimate (elan@12@80 th=16: est
+# 5.9 MB, compiler reported 22.05 MB, 2026-08-17), so 12 MB estimated
+# ~= 48 MB real — which is why fused_elan raises the kernel's scoped-
+# vmem limit (default 16 MB) to VMEM_LIMIT; v5e has 128 MB per core.
 VMEM_LIMIT = 96 * 1024 * 1024
 
 
@@ -109,6 +108,12 @@ class ElanShape:
     # M-starved (w6's 40 px groups run M=672 matmuls at group=1) and
     # each cell's DMA covers G images.  VMEM scales by G.
     group: int = 1
+    # per-shape VMEM budget (MB, against strip_footprint's ESTIMATE)
+    # driving choose_strip_height.  The default matches the historical
+    # global; measured on elan@3@160, th=32 (needs ~2x the default
+    # budget) beat th=16 by 14% — variant part "bN" raises it for
+    # kernels whose codegen is known to compile at bigger strips.
+    vmem_budget_mb: int = 12
     # perf-ablation knob (tools/bench_elan --kernels ...+nomask): skip
     # the SAME-pad ring zeroing.  NUMERICALLY WRONG near borders — only
     # for isolating the masks' VPU cost on-chip, never for serving.
@@ -174,12 +179,14 @@ def strip_footprint(shape: ElanShape, th: int, w: int, itemsize: int) -> int:
 
 def choose_strip_height(shape: ElanShape, h: int, w: int,
                         itemsize: int) -> int:
-    """Largest divisor of `h` whose working set fits the VMEM budget.
+    """Largest divisor of `h` whose working set fits the shape's VMEM
+    budget (vmem_budget_mb, default == the historical global).
     Returns 0 if none fits (caller should leave the block unfused)."""
+    budget = shape.vmem_budget_mb * 1024 * 1024
     for th in sorted({d for d in range(1, h + 1) if h % d == 0
                       and d in (h, 80, 64, 48, 40, 32, 20, 16, 10, 8, 5, 4)},
                      reverse=True):
-        if strip_footprint(shape, th, w, itemsize) <= VMEM_BUDGET:
+        if strip_footprint(shape, th, w, itemsize) <= budget:
             return th
     return 0
 

@@ -281,3 +281,19 @@ def test_fused_executor_on_folded_variables():
     for r, g in zip(ref, got):
         scale = float(jnp.max(jnp.abs(r))) + 1e-6
         assert float(jnp.max(jnp.abs(r - g))) / scale < 1e-5
+
+
+def test_variant_budget_part_drives_strip_height():
+    """apply_variant "bN" raises the per-shape VMEM budget, which
+    choose_strip_height uses — bigger budgets pick bigger strips."""
+    from face_detection_multi_scale_tpu.models.fused import apply_variant
+    from face_detection_multi_scale_tpu.ops.pallas_elan import (
+        choose_strip_height)
+
+    shape = ElanShape(cin=128, ccv=64, cch=64, cout=128, n_chain=4,
+                      members=("y4", "y2", "b", "a"))  # the elan@3 shape
+    th_default = choose_strip_height(shape, 160, 160, 2)
+    big = apply_variant(shape, "flat+b28")
+    assert big.vmem_budget_mb == 28 and big.flat_mm
+    th_big = choose_strip_height(big, 160, 160, 2)
+    assert th_big > th_default, (th_big, th_default)
