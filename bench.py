@@ -191,6 +191,24 @@ def run_sweep(smoke: bool) -> list:
     return rows
 
 
+def _last_known() -> dict | None:
+    """Best prior flagship measurement, for the failure line: the
+    driver's record must stay parseable even when the relay is down."""
+    import pathlib
+
+    p = pathlib.Path(__file__).parent / "BENCH_SWEEP.json"
+    try:
+        rows = json.loads(p.read_text())
+        for r in rows:
+            if (r.get("model") == "yolov7-w6-face"
+                    and r.get("img_size") == 640
+                    and r.get("conf_thres") == 0.25):
+                return r
+    except Exception:
+        pass
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov7-w6-face",
@@ -270,5 +288,36 @@ def main():
     return 0
 
 
+def _main_guarded():
+    """Run main(), but NEVER exit without one parseable JSON line.
+
+    Round 3's driver bench record is empty because a relay outage
+    surfaced as a bare traceback (BENCH_r03.json rc=1, parsed=null).
+    Any failure — backend init, remote compile, OOM — now emits
+    {"metric", "value": 0, "unit", "vs_baseline": 0, "error",
+    "last_known"} so the perf record has an explicit hole instead of a
+    silent one."""
+    try:
+        return main()
+    except BaseException as e:  # noqa: BLE001 - deliberate catch-all
+        if isinstance(e, (SystemExit, KeyboardInterrupt)):
+            raise
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        lk = _last_known()
+        print(json.dumps({
+            "metric": ("BENCH FAILED (environment): yolov7-w6-face "
+                       "(flagship) 640px images/sec/chip; last known "
+                       "real-chip measurement attached"),
+            "value": 0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0,
+            "error": f"{type(e).__name__}: {e}",
+            "last_known": lk,
+        }))
+        return 0  # the JSON line IS the result; rc=0 keeps it recorded
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_guarded())
