@@ -23,17 +23,44 @@ def _ckptr():
 
 
 def save_checkpoint(ckpt_dir: str, tag: str, state, meta: Dict[str, Any]):
-    """Save a TrainState under ckpt_dir/tag (last/best) + meta json."""
-    path = os.path.abspath(os.path.join(ckpt_dir, tag))
-    ckptr = _ckptr()
-    if os.path.exists(path):
-        import shutil
+    """Save a TrainState under ckpt_dir/tag (last/best) + meta json.
 
-        shutil.rmtree(path)
-    ckptr.save(path, jax.device_get(state))
+    Crash-safe: the state is written to `<tag>.tmp` first and swapped in
+    with directory renames, so a crash at ANY point leaves a restorable
+    checkpoint — either the old one (still at `<tag>` or parked at
+    `<tag>.old`, which load_checkpoint falls back to) or the complete
+    new one. The reference's torch.save(last.pt) at worst truncates the
+    file being written, never the previous epoch's (train.py:517-534);
+    the old rmtree-then-save here was strictly worse.
+
+    Multi-host-safe: only process 0 writes (the state has already been
+    device_get to host numpy, so a single writer is complete); callers
+    no longer need to gate — the reference gates the same way on rank
+    (train.py:509 `if rank in [-1, 0]`).
+    """
+    if jax.process_index() != 0:
+        return
+    import shutil
+
+    path = os.path.abspath(os.path.join(ckpt_dir, tag))
+    tmp, old = path + ".tmp", path + ".old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    ckptr = _ckptr()
+    ckptr.save(tmp, jax.device_get(state))
     ckptr.wait_until_finished()
-    with open(path + ".meta.json", "w") as f:
+    meta_tmp = path + ".meta.json.tmp"
+    with open(meta_tmp, "w") as f:
         json.dump(meta, f)
+    # swap: park the live ckpt at .old, move the new one in, then drop
+    # .old. Each step is a rename (atomic) or a delete of a spare copy.
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    os.replace(meta_tmp, path + ".meta.json")
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def load_checkpoint(ckpt_dir: str, tag: str, template) -> Tuple[Any, Dict]:
@@ -42,10 +69,14 @@ def load_checkpoint(ckpt_dir: str, tag: str, template) -> Tuple[Any, Dict]:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
+    meta_path = path + ".meta.json"  # sidecar keeps the original name
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        # a crash mid-swap in save_checkpoint can leave the previous
+        # checkpoint parked at <tag>.old with nothing at <tag> yet
+        path = path + ".old"
     ckptr = _ckptr()
     state = ckptr.restore(path, target=template)
     meta = {}
-    meta_path = path + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)

@@ -50,6 +50,86 @@ def test_inference_weights_roundtrip(tmp_path):
                                       np.asarray(flat_b[keypath]))
 
 
+def test_save_checkpoint_crash_safe(tmp_path, monkeypatch):
+    """A crash at ANY point inside save_checkpoint must leave a
+    restorable `last` (reference train.py:517-534: the previous last.pt
+    always survives a crashed epoch save). Simulated by failing each
+    os.rename / shutil.rmtree call site in turn and asserting the
+    PREVIOUS epoch still loads."""
+    import os
+    import shutil
+
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.train import checkpoint as CKPT
+    from face_detection_multi_scale_tpu.train.trainer import (
+        create_train_state)
+
+    spec = zoo.get_spec("yolov7-lite-t")
+    _, variables = init_model(spec, img_size=64)
+    state = create_train_state(variables)
+
+    real_rename, real_rmtree = os.rename, shutil.rmtree
+
+    # crash points keyed by the exact filesystem call save_checkpoint
+    # makes (orbax's own internal renames never match these patterns):
+    #   park    — rename(<last>, <last>.old) fails: old ckpt untouched
+    #   move_in — rename(<last>.tmp, <last>) fails: old parked at .old,
+    #             load_checkpoint must fall back to it
+    #   drop    — final rmtree(<last>.old) fails: NEW ckpt live, stale
+    #             .old must not break the next save
+    def match(point, src, dst=None):
+        if point == "park":
+            return dst is not None and dst.endswith("last.old")
+        if point == "move_in":
+            return src.endswith("last.tmp") and dst is not None \
+                and dst.endswith("last")
+        return src.endswith("last.old") and dst is None  # drop
+
+    for point, expect_epoch in [("park", 1), ("move_in", 1),
+                                ("drop", 2)]:
+        # fresh epoch-1 checkpoint, no strays
+        for stray in list(tmp_path.iterdir()):
+            if stray.is_dir():
+                real_rmtree(str(stray))
+            else:
+                stray.unlink()
+        CKPT.save_checkpoint(str(tmp_path), "last", state, {"epoch": 1})
+
+        def rename_boom(src, dst, *a, _p=point, **k):
+            if match(_p, str(src), str(dst)):
+                raise RuntimeError("simulated crash")
+            return real_rename(src, dst, *a, **k)
+
+        def rmtree_boom(path, *a, _p=point, **k):
+            if match(_p, str(path)):
+                raise RuntimeError("simulated crash")
+            return real_rmtree(path, *a, **k)
+
+        monkeypatch.setattr(os, "rename", rename_boom)
+        monkeypatch.setattr(shutil, "rmtree", rmtree_boom)
+        try:
+            CKPT.save_checkpoint(str(tmp_path), "last", state,
+                                 {"epoch": 2})
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        monkeypatch.setattr(os, "rename", real_rename)
+        monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+        assert crashed, f"crash point {point} never reached"
+
+        restored, meta = CKPT.load_checkpoint(str(tmp_path), "last",
+                                              state)
+        assert meta["epoch"] == expect_epoch, point
+        assert restored is not None
+        if point == "drop":
+            # the stale .old left behind must not break the next save
+            CKPT.save_checkpoint(str(tmp_path), "last", state,
+                                 {"epoch": 3})
+            _, meta = CKPT.load_checkpoint(str(tmp_path), "last", state)
+            assert meta["epoch"] == 3
+
+
 def test_orbax_state_roundtrip(tmp_path):
     import jax
 
