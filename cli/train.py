@@ -66,6 +66,12 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=8,
                     help="loader sample-fetch threads (reference "
                          "dataloader workers, utils/datasets.py:59-87)")
+    ap.add_argument("--loader-mode", default="thread",
+                    choices=["thread", "process"],
+                    help="'process' assembles each batch in a worker "
+                         "process (the reference's worker processes); "
+                         "'thread' shares one Python interpreter and "
+                         "tops out near 1 core of label assembly")
     ap.add_argument("--project", default="runs/train")
     ap.add_argument("--name", default="exp")
     ap.add_argument("--exist-ok", action="store_true")
@@ -204,6 +210,7 @@ def train_run(args, hyp_override=None, quiet=False):
 
     loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                         seed=args.seed, workers=args.workers,
+                        mode=args.loader_mode,
                         num_hosts=jax.process_count(),
                         host_id=jax.process_index())
     steps_per_epoch = max(len(loader), 1)

@@ -777,25 +777,63 @@ def collate(samples) -> Tuple[np.ndarray, np.ndarray, list, list]:
     return np.stack(imgs), merged, list(paths), list(shapes)
 
 
+# -- process-pool worker plumbing (module-level so spawn can import it) --
+
+_WORKER_DS: Optional[FaceDataset] = None
+
+
+def _proc_worker_init(dataset: FaceDataset):
+    """Runs once in each worker process; with the fork start method the
+    dataset arrives by copy-on-write inheritance (no pickle), with spawn
+    it is pickled once per worker."""
+    global _WORKER_DS
+    _WORKER_DS = dataset
+
+
+def _proc_get_batch(task):
+    """Assemble one full batch inside a worker process.
+
+    Seeded per (loader seed, epoch, batch index), NOT per worker — the
+    augmentation draw for a given batch is deterministic no matter which
+    worker picks the task (the reference instead seeds each torch worker
+    process, utils/datasets.py:59-87 + torch worker_init, which makes the
+    stream depend on the worker->batch schedule)."""
+    idxs, batch_seed = task
+    if batch_seed is not None:
+        random.seed(batch_seed)
+        np.random.seed(batch_seed % (2 ** 32))
+    return [_WORKER_DS.get(int(i)) for i in idxs]
+
+
 class DataLoader:
-    """Shuffling, optionally host-sharded, thread-prefetched loader.
+    """Shuffling, optionally host-sharded, prefetched loader.
 
     Per-host sharding replaces DistributedSampler (utils/datasets.py:78):
     host k of K takes every K-th index after the epoch-seeded shuffle.
 
-    `workers` > 1 fetches the samples of each batch through a thread
-    pool (mosaic + perspective are cv2/numpy-heavy and release the GIL),
-    the InfiniteDataLoader-with-workers equivalent
-    (utils/datasets.py:59-121); the prefetch queue overlaps batch
-    assembly with the train step. workers <= 1 keeps the exact serial
-    global-RNG draw order the seeded parity tests rely on.
+    Worker modes (the InfiniteDataLoader-with-workers equivalent,
+    utils/datasets.py:59-121):
+    - mode="thread" (default): samples of each batch fetched through a
+      thread pool — cv2 releases the GIL, but label/target assembly is
+      pure Python, so this tops out near 1 core of Python work.
+    - mode="process": each batch is assembled end-to-end (decode +
+      augment + label build) inside one of `workers` persistent worker
+      processes, mirroring the reference's dataloader worker processes;
+      finished batches return over pipes. Augmentation RNG is seeded per
+      (seed, epoch, batch) so results are schedule-independent — but the
+      stream differs from the serial/thread modes' shared global stream.
+    - workers <= 1 keeps the exact serial global-RNG draw order the
+      seeded parity tests rely on.
+
+    The prefetch queue overlaps batch assembly with the train step in
+    every mode.
     """
 
     def __init__(self, dataset: FaceDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
                  num_hosts: int = 1, host_id: int = 0,
                  drop_last: bool = True, prefetch: int = 2,
-                 workers: int = 4):
+                 workers: int = 4, mode: str = "thread"):
         if getattr(dataset, "rect", False):
             # rect batch shapes are computed for sequential whole-dataset
             # iteration (batch i = indices [i*bs, (i+1)*bs)); shuffling
@@ -811,10 +849,39 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.workers = workers
+        assert mode in ("thread", "process"), mode
+        self.mode = mode
         self.epoch = 0
+        self._pool = None  # persistent process pool, built lazily
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def _get_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            # fork: dataset inherited copy-on-write, no per-worker
+            # pickle of the image cache; spawn fallback elsewhere
+            methods = mp.get_all_start_methods()
+            ctx = mp.get_context(
+                "fork" if "fork" in methods else "spawn")
+            self._pool = ctx.Pool(self.workers,
+                                  initializer=_proc_worker_init,
+                                  initargs=(self.dataset,))
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset) // self.num_hosts
@@ -829,6 +896,9 @@ class DataLoader:
         return idx[self.host_id::self.num_hosts]
 
     def __iter__(self):
+        if self.mode == "process" and self.workers > 1:
+            yield from self._iter_process()
+            return
         idx = self._epoch_indices()
         nb = len(self)
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
@@ -865,3 +935,26 @@ class DataLoader:
             if isinstance(item, BaseException):
                 raise item
             yield item
+
+    def _iter_process(self):
+        """Process-pool epoch: one task per batch, at most
+        workers + prefetch outstanding so a slow consumer never buffers
+        the whole epoch in result pipes."""
+        from collections import deque
+
+        idx = self._epoch_indices()
+        nb = len(self)
+        pool = self._get_pool()
+        max_inflight = self.workers + max(self.prefetch, 1)
+        inflight: deque = deque()
+        b = 0
+        while b < nb or inflight:
+            while b < nb and len(inflight) < max_inflight:
+                chunk = [int(i) for i in
+                         idx[b * self.batch_size:
+                             (b + 1) * self.batch_size]]
+                batch_seed = hash((self.seed, self.epoch, b)) & 0x7FFFFFFF
+                inflight.append(pool.apply_async(
+                    _proc_get_batch, ((chunk, batch_seed),)))
+                b += 1
+            yield collate(inflight.popleft().get())

@@ -132,6 +132,72 @@ def test_dataloader_shards_and_batches(fake_data):
     assert len(pa | pb) == len(ds)
 
 
+def test_dataloader_process_mode(fake_data):
+    """mode='process' (worker processes assembling whole batches, the
+    reference's dataloader-worker equivalent, utils/datasets.py:59-121):
+    un-augmented output must equal the serial loader exactly, and the
+    augmented stream must be deterministic under (seed, epoch) — batch
+    results cannot depend on the worker->batch schedule."""
+    ds = FaceDataset(fake_data, img_size=192, augment=False, hyp={})
+    serial = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                             workers=1))
+    proc_loader = DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                             workers=3, mode="process")
+    try:
+        proc = list(proc_loader)
+        assert len(serial) == len(proc)
+        for (si, sl, sp, _), (pi, pl, pp, _) in zip(serial, proc):
+            np.testing.assert_array_equal(si, pi)
+            np.testing.assert_allclose(sl, pl)
+            assert sp == pp
+    finally:
+        proc_loader.close()
+
+    hyp = dict(HYP_SCRATCH_P5, mosaic=1.0, fliplr=0.5, translate=0.1,
+               scale=0.5, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4)
+    aug = FaceDataset(fake_data, img_size=192, augment=True, hyp=hyp,
+                      kpt_label=NKPT)
+    la = DataLoader(aug, batch_size=2, shuffle=True, seed=5, workers=3,
+                    mode="process")
+    lb = DataLoader(aug, batch_size=2, shuffle=True, seed=5, workers=2,
+                    mode="process")
+    try:
+        ra, rb = list(la), list(lb)  # different worker counts/schedules
+        for (ai, al, _, _), (bi, bl, _, _) in zip(ra, rb):
+            np.testing.assert_array_equal(ai, bi)
+            np.testing.assert_allclose(al, bl)
+        la.set_epoch(1)
+        rc = list(la)
+        assert any(not np.array_equal(a[0], c[0])
+                   for a, c in zip(ra, rc))  # epoch reseeds the stream
+    finally:
+        la.close()
+        lb.close()
+
+
+def test_dataloader_process_mode_propagates_errors(fake_data):
+    ds = FaceDataset(fake_data, img_size=192, augment=False, hyp={})
+
+    real_get = FaceDataset.get
+
+    class BoomDS(FaceDataset):
+        def __init__(self):  # reuse the built dataset's state wholesale
+            self.__dict__.update(ds.__dict__)
+
+        def get(self, i):
+            if i == 2:
+                raise ValueError("boom in worker process")
+            return real_get(self, i)
+
+    loader = DataLoader(BoomDS(), batch_size=2, shuffle=False,
+                        workers=2, mode="process")
+    try:
+        with pytest.raises(ValueError, match="boom"):
+            list(loader)
+    finally:
+        loader.close()
+
+
 def test_dataloader_parallel_workers(fake_data):
     """workers > 1 yields the same batch structure (same images per
     batch, order preserved within the epoch) and actually overlaps

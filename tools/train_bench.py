@@ -34,6 +34,8 @@ def main():
                          "mosaic+perspective+HSV on) and report the "
                          "input-pipeline wait share")
     ap.add_argument("--loader-workers", type=int, default=8)
+    ap.add_argument("--loader-mode", default="thread",
+                    choices=["thread", "process"])
     ap.add_argument("--cache-images", action="store_true",
                     help="RAM-cache decoded images (reference --cache-images):\n"
                     "measured on this box, imread is 65%% of the per-item cost\n"
@@ -125,7 +127,8 @@ def main():
                          batch_size=args.batch,
                          cache_images=args.cache_images)
         loader = DataLoader(ds, args.batch, shuffle=True,
-                            workers=args.loader_workers, prefetch=3)
+                            workers=args.loader_workers, prefetch=3,
+                            mode=args.loader_mode)
 
         def feed():
             for images, labels, _, _ in loader:
@@ -156,7 +159,8 @@ def main():
             "metric": f"{args.model} {args.img_size}px TRAIN "
                       f"images/sec/chip (batch={args.batch}, "
                       f"{args.dtype}, real augmenting loader "
-                      f"{args.loader_workers}w + build_targets + "
+                      f"{args.loader_workers}w/{args.loader_mode} "
+                      f"+ build_targets + "
                       f"fwd+bwd+SGD+EMA+BN)",
             "value": round(args.batch * n_steps / dt, 2),
             "unit": "images/sec/chip",
