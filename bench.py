@@ -38,8 +38,14 @@ def measure(fn, fetch, batches, iters):
 
 def run_point(model_name: str, img_size: int, batch: int, iters: int,
               pool: int, dtype_name: str, conf_thres: float,
-              max_candidates: int, with_h2d: bool = True) -> dict:
-    """Measure one (model, size, batch, dtype, conf) operating point."""
+              max_candidates: int, with_h2d: bool = True,
+              micro_batch: int | None = None) -> dict:
+    """Measure one (model, size, batch, dtype, conf) operating point.
+
+    micro_batch: run the engine as lax.map over chunks of this size
+    inside the one jit — peak activation memory scales with the chunk,
+    the lever for HBM-capacity-capped points (w6@1280 regresses past
+    b8; see FaceDetector(micro_batch=...) for the serving-side knob)."""
     import jax
     import jax.numpy as jnp
 
@@ -60,18 +66,28 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
 
     @jax.jit
     def engine_v(variables, x):
-        raws = model.apply(variables, x.astype(dtype) / 255.0, train=False)
-        dets = NMS.non_max_suppression(
-            decode(raws, spec), conf_thres, 0.5, nc=spec.nc,
-            nkpt=spec.nkpt, max_candidates=max_candidates, max_det=300)
-        # scalar reduction over EVERY output field forces the full
-        # serving computation at fetch time — summing only boxes+scores
-        # lets XLA dead-code the landmark gather, which round-3
-        # profiling showed is a major cost when actually consumed
-        return (dets.boxes.sum() + dets.scores.sum()
-                + dets.classes.sum()
-                + dets.extras.astype(jnp.float32).sum()
-                + dets.valid.sum() + dets.n_gated.sum())
+        def chunk_sum(xc):
+            raws = model.apply(variables, xc.astype(dtype) / 255.0,
+                               train=False)
+            dets = NMS.non_max_suppression(
+                decode(raws, spec), conf_thres, 0.5, nc=spec.nc,
+                nkpt=spec.nkpt, max_candidates=max_candidates,
+                max_det=300)
+            # scalar reduction over EVERY output field forces the full
+            # serving computation at fetch time — summing only
+            # boxes+scores lets XLA dead-code the landmark gather, which
+            # round-3 profiling showed is a major cost when consumed
+            return (dets.boxes.sum() + dets.scores.sum()
+                    + dets.classes.sum()
+                    + dets.extras.astype(jnp.float32).sum()
+                    + dets.valid.sum() + dets.n_gated.sum())
+
+        b = x.shape[0]
+        if micro_batch and b > micro_batch and b % micro_batch == 0:
+            chunks = x.reshape((b // micro_batch, micro_batch)
+                               + x.shape[1:])
+            return jax.lax.map(chunk_sum, chunks).sum()
+        return chunk_sum(x)
 
     def engine(x):
         return engine_v(variables, x)
@@ -91,6 +107,8 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
         "max_candidates": max_candidates,
         "images_per_sec": round(batch * iters / dt, 2),
     }
+    if micro_batch:
+        point["micro_batch"] = micro_batch
 
     if with_h2d:
         # aux: H2D included (device_put inside the loop)
@@ -177,6 +195,10 @@ def run_sweep(smoke: bool) -> list:
             # b8 172, b16 110, b32 119 — 8 is the sweet spot; b16+
             # regress from HBM capacity, see CLAUDE.md)
             ("yolov7-w6-face", 1280, 8, 10, 4, "bfloat16", 0.25, 1024),
+            # b16 with micro_batch=8: lax.map of two b8 chunks inside
+            # one jit — b8's working set, b16's dispatch amortization
+            ("yolov7-w6-face", 1280, 16, 8, 4, "bfloat16", 0.25, 1024,
+             True, 8),
         ]
     rows = []
     for p in pts:
@@ -228,6 +250,10 @@ def main():
                     help="pre-NMS candidate cap (1024 is ample at the "
                          "serving conf threshold; the WIDER eval point "
                          "conf 0.01 needs 4096+, an accuracy knob)")
+    ap.add_argument("--micro-batch", type=int, default=None,
+                    help="engine runs as lax.map over chunks of this "
+                         "size inside one jit (HBM-capacity lever for "
+                         "large-image points, e.g. 1280px b16 mb8)")
     ap.add_argument("--sweep", action="store_true",
                     help="measure the full operating-point table "
                          "(serving + AP-parity flagship) and write "
@@ -258,7 +284,7 @@ def main():
 
     point = run_point(args.model, args.img_size, args.batch, args.iters,
                       args.pool, args.dtype, args.conf_thres,
-                      args.max_candidates)
+                      args.max_candidates, micro_batch=args.micro_batch)
     extra = ""
     if not args.smoke and args.model == "yolov7-w6-face" \
             and args.conf_thres >= 0.1:

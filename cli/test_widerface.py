@@ -45,6 +45,12 @@ def main(argv=None):
     # need generous fixed capacities to avoid recall loss
     ap.add_argument("--max-det", type=int, default=4096)
     ap.add_argument("--max-candidates", type=int, default=16384)
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="letterbox + BGR->RGB + /255 on device, fused "
+                         "into the network executable (raw frames "
+                         "bucketed by ORIGINAL shape); differs from the "
+                         "cv2 letterbox by <=2/255 per pixel — the AP "
+                         "delta is recorded in AP_PARITY.md")
     args = ap.parse_args(argv)
 
     import cv2
@@ -69,8 +75,10 @@ def main(argv=None):
         names = f.read().split()
     print(f"{len(names)} val images")
 
-    # bucket by letterboxed (auto=True) shape so each bucket is one
-    # compiled executable
+    # bucket so each bucket is one compiled executable: by letterboxed
+    # (auto=True) shape for the host-cv2 path, by ORIGINAL raw shape for
+    # the fused device-preprocess path (the letterbox then runs inside
+    # the executable and its geometry is static per raw shape)
     t0 = time.time()
     buckets = defaultdict(list)
     for name in names:
@@ -79,24 +87,39 @@ def main(argv=None):
         if img0 is None:
             print(f"WARNING: unreadable {path}")
             continue
-        lb = letterbox(img0, args.img_size, stride=det.stride, auto=True)[0]
-        buckets[lb.shape[:2]].append((name, img0.shape, lb))
+        if args.device_preprocess:
+            buckets[img0.shape[:2]].append((name, img0.shape, img0))
+        else:
+            lb = letterbox(img0, args.img_size, stride=det.stride,
+                           auto=True)[0]
+            buckets[lb.shape[:2]].append((name, img0.shape, lb))
 
     n_written = 0
     gated_counts = []
     for shape, items in sorted(buckets.items(), key=lambda kv: -len(kv[1])):
+        if args.device_preprocess:
+            run, geom = det._executable_dev(shape, args.img_size,
+                                            auto=True)
+            inp_hw = geom.out_hw
         for i in range(0, len(items), args.batch_size):
             chunk = items[i:i + args.batch_size]
-            batch = np.stack([
-                np.ascontiguousarray(lb[:, :, ::-1]) for _, _, lb in chunk])
-            dets = det.run_network(batch)
+            if args.device_preprocess:
+                batch = np.stack([raw for _, _, raw in chunk])  # BGR;
+                # device_letterbox swaps channels on device
+                dets = run(det.variables, jnp.asarray(batch))
+            else:
+                batch = np.stack([
+                    np.ascontiguousarray(lb[:, :, ::-1])
+                    for _, _, lb in chunk])
+                dets = det.run_network(batch)
+                inp_hw = shape
             gated_counts.extend(
                 np.asarray(dets.n_gated)[:len(chunk)].tolist())
             rows_list = detections_to_numpy(dets)
             for (name, img0_shape, _), rows in zip(chunk, rows_list):
                 rows = rows.astype(np.float64)
                 if len(rows):
-                    scale_coords(shape, rows[:, :4], img0_shape)
+                    scale_coords(inp_hw, rows[:, :4], img0_shape)
                 save_name = os.path.join(args.save_folder,
                                          name[:-4] + ".txt")
                 write_pred_file(save_name, Path(save_name).stem,

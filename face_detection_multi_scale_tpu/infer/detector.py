@@ -55,7 +55,7 @@ class FaceDetector:
                  max_candidates: int = 4096, seed: int = 0,
                  mesh=None, fuse: bool = True,
                  use_device_preprocess: bool = False,
-                 fuse_elan=False):
+                 fuse_elan=False, micro_batch: Optional[int] = None):
         if isinstance(model, str):
             spec = zoo.get_spec(model)  # pinned, verified strides
         else:
@@ -107,6 +107,14 @@ class FaceDetector:
         # every pyramid scale); numerics differ from cv2 by <=2/255 per
         # pixel (see infer/device_preprocess.py)
         self.use_device_preprocess = use_device_preprocess
+        # micro-batching: run the engine as lax.map over micro_batch-
+        # sized chunks INSIDE one jit. Peak activation memory scales
+        # with the chunk, not the API batch — the lever for large-image
+        # operating points where HBM capacity, not compute, caps the
+        # batch (w6@1280 regresses past b8 from HBM churn; two
+        # sequential b8 chunks keep b8's working set at b16's
+        # dispatch/pipeline efficiency). None = whole-batch (default).
+        self.micro_batch = micro_batch
         # execute E-ELAN groups as single Pallas kernels (VMEM-resident
         # intermediates, models/fused.py); serving-only HBM-byte saver.
         # True fuses with the default kernel; a string selects a
@@ -178,6 +186,24 @@ class FaceDetector:
                                blocks=self._elan_blocks, dtype=self.dtype)
         return self.model.apply(variables, x, train=False)
 
+    def _microbatched(self, engine, variables, images_u8):
+        """Apply a (variables, chunk) -> Detections engine to the whole
+        batch, as lax.map over micro_batch-sized chunks when enabled and
+        the batch divides evenly (trace-time decision — the batch dim is
+        static under jit). Peak activation memory is the chunk's, not
+        the batch's; results re-merge to the flat batch layout."""
+        mb, batch = self.micro_batch, images_u8.shape[0]
+        # under a mesh the batch dim carries the data sharding; chunking
+        # it would fold shards into the map dim — per-chip chunking there
+        # is a different (unimplemented) layout, so mesh wins
+        if not mb or self.mesh is not None or batch <= mb or batch % mb:
+            return engine(variables, images_u8)
+        chunks = images_u8.reshape((batch // mb, mb)
+                                   + images_u8.shape[1:])
+        dets = jax.lax.map(lambda c: engine(variables, c), chunks)
+        return jax.tree.map(
+            lambda a: a.reshape((batch,) + a.shape[2:]), dets)
+
     def _executable(self, h: int, w: int):
         """One fused jit per static (h, w): uint8 NHWC batch -> Detections."""
         key = (h, w)
@@ -189,14 +215,17 @@ class FaceDetector:
 
             forward = self._forward
 
-            @jax.jit
-            def run(variables, images_u8):
+            def engine(variables, images_u8):
                 x = images_u8.astype(dtype) / 255.0
                 raws = forward(variables, x)
                 preds = decode(raws, spec)
                 return NMS.non_max_suppression(
                     preds, conf, iou, nc=spec.nc, nkpt=spec.nkpt,
                     max_candidates=max_cand, max_det=max_det)
+
+            @jax.jit
+            def run(variables, images_u8):
+                return self._microbatched(engine, variables, images_u8)
 
             self._exec[key] = run
         return self._exec[key]
@@ -232,14 +261,17 @@ class FaceDetector:
 
             forward = self._forward
 
-            @jax.jit
-            def run(variables, raw_u8):
+            def engine(variables, raw_u8):
                 x = pre(raw_u8)
                 raws = forward(variables, x)
                 preds = decode(raws, spec)
                 return NMS.non_max_suppression(
                     preds, conf, iou, nc=spec.nc, nkpt=spec.nkpt,
                     max_candidates=max_cand, max_det=max_det)
+
+            @jax.jit
+            def run(variables, raw_u8):
+                return self._microbatched(engine, variables, raw_u8)
 
             self._exec[key] = (run, geom)
         return self._exec[key]

@@ -103,6 +103,13 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse existing weights in <root>/runs")
+    ap.add_argument("--preprocess", default="host",
+                    choices=["host", "device", "both"],
+                    help="'device' fuses letterbox+normalize into the "
+                         "network executable (infer/device_preprocess.py,"
+                         " <=2/255 per-pixel difference vs cv2); 'both' "
+                         "evaluates the two pipelines on the same "
+                         "weights and prints the AP delta")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -174,21 +181,34 @@ def main(argv=None):
 
     from cli.test_widerface import main as tw_main
 
-    txt_dir = root / "pred_txt"
-    tw_main(["--model", args.model, "--weights", str(weights),
-             "--img-size", str(args.img_size),
-             "--conf-thres", "0.01", "--iou-thres", "0.5",
-             "--batch-size", "16",
-             "--dataset_folder", str(val_images) + "/",
-             "--save_folder", str(txt_dir) + "/"])
-
     gt_dir = write_gt_mats(str(val_images), str(root / "val" / "labels"),
                            str(root / "gt"))
 
     from face_detection_multi_scale_tpu.eval.widerface import evaluation
 
-    aps = evaluation(str(txt_dir), gt_dir)
-    return aps
+    modes = (["host", "device"] if args.preprocess == "both"
+             else [args.preprocess])
+    results = {}
+    for mode in modes:
+        txt_dir = root / ("pred_txt" if mode == "host"
+                          else "pred_txt_dev")
+        cmd = ["--model", args.model, "--weights", str(weights),
+               "--img-size", str(args.img_size),
+               "--conf-thres", "0.01", "--iou-thres", "0.5",
+               "--batch-size", "16",
+               "--dataset_folder", str(val_images) + "/",
+               "--save_folder", str(txt_dir) + "/"]
+        if mode == "device":
+            cmd.append("--device-preprocess")
+        tw_main(cmd)
+        print(f"[{mode} preprocess]")
+        results[mode] = evaluation(str(txt_dir), gt_dir)
+    if len(results) == 2:
+        delta = {k: results["device"][k] - results["host"][k]
+                 for k in ("easy", "medium", "hard")}
+        print("AP delta (device - host): "
+              + " ".join(f"{k}={d:+.5f}" for k, d in delta.items()))
+    return results[modes[-1]]
 
 
 if __name__ == "__main__":
