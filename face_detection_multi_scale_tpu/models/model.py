@@ -196,11 +196,18 @@ class YoloFace(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 reshape_heads: bool = True):
+                 reshape_heads: bool = True,
+                 up_to: Optional[int] = None):
         """When reshape_heads is False, the per-level outputs stay in the
         conv layout (bs, ny, nx, na*no) — the fast-inference contract for
         ops/nms.non_max_suppression_from_raws, which avoids ever
-        materializing the lane-padded (..., no) tensors."""
+        materializing the lane-padded (..., no) tensors.
+
+        up_to: profiling hook — stop after node `up_to` and return a
+        float32 scalar that sums the current activation AND every live
+        saved tensor, so XLA cannot dead-code any node computed so far;
+        per-node-range cost = delta between two truncations
+        (tools/profile_layers.py)."""
         spec = self.spec.resolve()
         saved: List[Optional[jnp.ndarray]] = []
         save = set(spec.save)
@@ -235,6 +242,12 @@ class YoloFace(nn.Module):
                 else:
                     x = self._build_block(node, f"model_{i}")(inp, train)
             saved.append(x if i in save else None)
+            if up_to is not None and i >= up_to:
+                acc = x.astype(jnp.float32).sum()
+                for s in saved:
+                    if s is not None:
+                        acc = acc + s.astype(jnp.float32).sum()
+                return acc
         raise RuntimeError("spec has no detection head as its last node")
 
 
