@@ -169,13 +169,17 @@ def run_latency(model_name: str, img_size: int, dtype_name: str,
             "latency_ms_p90": round(samples[int(len(samples) * 0.9)], 2)}
 
 
-def run_sweep(smoke: bool) -> list:
+def run_sweep(smoke: bool, out_path=None) -> list:
     """The published operating-point table: the serving point
     (tiny-face, the latency/throughput model) and the AP-parity flagship
     (yolov7-w6-face — the production checkpointed architecture behind the
     WIDER hard 0.830 target, reference multi_scale_face_detector.py:696)
     at 640 and its P6-native 1280, plus a loaded-postprocess point at the
-    WIDER eval conf 0.01 where the NMS stage actually works."""
+    WIDER eval conf 0.01 where the NMS stage actually works.
+
+    out_path: when given, the partial table is (re)written after EVERY
+    row — on this relay a single compile can take 10-25 minutes, so a
+    timeout mid-sweep must not lose the rows already measured."""
     if smoke:
         pts = [("yolov7-lite-t", 128, 2, 2, 2, "float32", 0.25, 256),
                ("yolov7-lite-t", 128, 2, 2, 2, "float32", 0.01, 256)]
@@ -201,15 +205,20 @@ def run_sweep(smoke: bool) -> list:
              True, 8),
         ]
     rows = []
+
+    def emit(row):
+        rows.append(row)
+        print(json.dumps(row), file=sys.stderr)
+        if out_path is not None:
+            out_path.write_text(json.dumps(rows, indent=1))
+
     for p in pts:
-        rows.append(run_point(*p))
-        print(json.dumps(rows[-1]), file=sys.stderr)
+        emit(run_point(*p))
     lat_pts = ([("yolov7-lite-t", 128, "float32", 4)] if smoke else
                [("yolov7-tiny-face", 640, "bfloat16", 30),
                 ("yolov7-w6-face", 640, "bfloat16", 20)])
     for lp in lat_pts:
-        rows.append(run_latency(*lp))
-        print(json.dumps(rows[-1]), file=sys.stderr)
+        emit(run_latency(*lp))
     return rows
 
 
@@ -273,12 +282,11 @@ def main():
 
     if args.sweep:
         import pathlib
-        rows = run_sweep(args.smoke)
         # smoke runs must not clobber the recorded real-chip sweep
         name = "BENCH_SWEEP_SMOKE.json" if args.smoke \
             else "BENCH_SWEEP.json"
         out = pathlib.Path(__file__).parent / name
-        out.write_text(json.dumps(rows, indent=1))
+        rows = run_sweep(args.smoke, out_path=out)
         print(json.dumps({"sweep": rows}))
         return 0
 
