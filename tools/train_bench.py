@@ -40,6 +40,12 @@ def main():
                     help="RAM-cache decoded images (reference --cache-images):\n"
                     "measured on this box, imread is 65%% of the per-item cost\n"
                     "(25.5 -> 9.5 ms/item with the cache)")
+    ap.add_argument("--record", action="store_true",
+                    help="append/refresh this point as a mode=train row "
+                         "in BENCH_SWEEP.json (bench.py --sweep only "
+                         "rewrites the inference rows; train rows are "
+                         "recorded here so the published table keeps "
+                         "both sides)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -155,6 +161,8 @@ def main():
             n_steps += 1
         final = float(loss)
         dt = time.perf_counter() - t0
+        ips = round(args.batch * n_steps / dt, 2)
+        wait = round(t_wait / dt, 4)
         print(json.dumps({
             "metric": f"{args.model} {args.img_size}px TRAIN "
                       f"images/sec/chip (batch={args.batch}, "
@@ -162,10 +170,21 @@ def main():
                       f"{args.loader_workers}w/{args.loader_mode} "
                       f"+ build_targets + "
                       f"fwd+bwd+SGD+EMA+BN)",
-            "value": round(args.batch * n_steps / dt, 2),
+            "value": ips,
             "unit": "images/sec/chip",
-            "input_wait_share": round(t_wait / dt, 4),
+            "input_wait_share": wait,
             "loss": round(final, 4)}))
+        if args.record:
+            record_row({
+                "model": args.model, "img_size": args.img_size,
+                "batch": args.batch, "dtype": args.dtype,
+                "mode": "train+loader", "images_per_sec": ips,
+                "input_wait_share": wait,
+                "note": f"real augmenting DataLoader "
+                        f"({args.loader_workers}w/{args.loader_mode}"
+                        f"{', cached' if args.cache_images else ''}) + "
+                        f"build_targets + full jitted step; host-bound "
+                        f"on few-core VMs"})
         return 0
 
     t0 = time.perf_counter()
@@ -173,14 +192,40 @@ def main():
         state, loss, _ = step(state, *batches[i % 3])
     final = float(loss)
     dt = time.perf_counter() - t0
+    ips = round(args.batch * args.iters / dt, 2)
     print(json.dumps({
         "metric": f"{args.model} {args.img_size}px TRAIN images/sec/chip"
                   f" (batch={args.batch}, {args.dtype}, "
                   f"fwd+bwd+SGD+EMA+BN)",
-        "value": round(args.batch * args.iters / dt, 2),
+        "value": ips,
         "unit": "images/sec/chip",
         "loss": round(final, 4)}))
+    if args.record:
+        record_row({
+            "model": args.model, "img_size": args.img_size,
+            "batch": args.batch, "dtype": args.dtype, "mode": "train",
+            "images_per_sec": ips,
+            "note": "full jitted step fwd+bwd+SGD+EMA+BN, "
+                    "device-resident synthetic batches"})
     return 0
+
+
+def record_row(row):
+    """Append/refresh a train row in BENCH_SWEEP.json, keyed on
+    (model, img_size, mode) — bench.py --sweep rewrites only the
+    inference rows, so the train side of the published table is
+    recorded from here."""
+    p = Path(__file__).resolve().parent.parent / "BENCH_SWEEP.json"
+    try:
+        rows = json.loads(p.read_text())
+    except FileNotFoundError:
+        rows = []
+    key = (row["model"], row["img_size"], row["mode"])
+    rows = [r for r in rows
+            if (r.get("model"), r.get("img_size"),
+                r.get("mode")) != key]
+    rows.append(row)
+    p.write_text(json.dumps(rows, indent=1))
 
 
 if __name__ == "__main__":
