@@ -79,13 +79,22 @@ def main():
         return (boxes.sum() + conf.sum()
                 + nms_boxes.sum()).astype(jnp.float32)
 
+    def _all_fields(d):
+        # sum EVERY Detections field (bench.py protocol): summing only
+        # boxes+scores lets XLA dead-code the landmark/extras gather —
+        # the round-3 lesson; the un-fixed version of this stage made
+        # the engine look ~25% faster than the honest bench
+        return (d.boxes.sum() + d.scores.sum() + d.classes.sum()
+                + d.extras.astype(jnp.float32).sum()
+                + d.valid.sum() + d.n_gated.sum())
+
     def stage_nms(v, x, backend="auto"):
         pred = decode(fwd(v, x), spec)
         d = NMS.non_max_suppression(
             pred, args.conf_thres, 0.5, nc=spec.nc, nkpt=spec.nkpt,
             max_candidates=args.max_candidates, max_det=300,
             backend=backend)
-        return d.boxes.sum() + d.scores.sum()
+        return _all_fields(d)
 
     def stage_raws(v, x):
         raws = model.apply(v, x.astype(dtype) / 255.0, train=False,
@@ -93,7 +102,7 @@ def main():
         d = NMS.non_max_suppression_from_raws(
             raws, spec, args.conf_thres, 0.5,
             max_candidates=args.max_candidates, max_det=300)
-        return d.boxes.sum() + d.scores.sum()
+        return _all_fields(d)
 
     stages = {
         "fwd": stage_fwd,
