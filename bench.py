@@ -199,9 +199,11 @@ def run_sweep(smoke: bool, out_path=None) -> list:
             # b8 172, b16 110, b32 119 — 8 is the sweet spot; b16+
             # regress from HBM capacity, see CLAUDE.md)
             ("yolov7-w6-face", 1280, 8, 10, 4, "bfloat16", 0.25, 1024),
-            # b16 with micro_batch=8: lax.map of two b8 chunks inside
-            # one jit — b8's working set, b16's dispatch amortization
-            ("yolov7-w6-face", 1280, 16, 8, 4, "bfloat16", 0.25, 1024,
+            # micro_batch=8: lax.map of b8 chunks inside one jit — b8's
+            # working set with a large outer batch's amortization.
+            # Round-4 grid: b16/mb8 169, b32/mb8 178 (best), b32/mb16
+            # 110 (the chunk itself spills) — PERF.md §3d
+            ("yolov7-w6-face", 1280, 32, 8, 2, "bfloat16", 0.25, 1024,
              True, 8),
         ]
     rows = []
