@@ -49,6 +49,11 @@ def main(argv=None):
     ap.add_argument("--fuse-elan", nargs="?", const=True,
                     default=False,
                     help="fused E-ELAN serving kernels (optional variant expression)")
+    ap.add_argument("--tile-top-scale", type=int, default=0,
+                    help="run pyramid scales >= 2048 px as a g x g "
+                         "batch of halo'd tiles (g=this value; 0=off). "
+                         "Recovers the batch-1 giant-conv MFU loss; "
+                         "approximation near seams — infer/tiling.py")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     args = ap.parse_args(argv)
@@ -72,7 +77,7 @@ def main(argv=None):
         args.model, torch_weights=args.weights,
         img_sizes=tuple(args.img_sizes), conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, use_api_preprocess=True,
-        fuse_elan=args.fuse_elan,
+        fuse_elan=args.fuse_elan, tile_top_scale=args.tile_top_scale,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     pipeline = ProductionPipeline(
         detector, args.output_dir, args.max_faces_dir,

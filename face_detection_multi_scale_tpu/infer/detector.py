@@ -55,7 +55,9 @@ class FaceDetector:
                  max_candidates: int = 4096, seed: int = 0,
                  mesh=None, fuse: bool = True,
                  use_device_preprocess: bool = False,
-                 fuse_elan=False, micro_batch: Optional[int] = None):
+                 fuse_elan=False, micro_batch: Optional[int] = None,
+                 tile_top_scale=False, tile_halo: int = 256,
+                 tile_min_size: int = 2048):
         if isinstance(model, str):
             spec = zoo.get_spec(model)  # pinned, verified strides
         else:
@@ -115,6 +117,17 @@ class FaceDetector:
         # sequential b8 chunks keep b8's working set at b16's
         # dispatch/pipeline efficiency). None = whole-batch (default).
         self.micro_batch = micro_batch
+        # tiled giant scales: run any pyramid scale >= tile_min_size as
+        # a g x g batch of halo'd tiles instead of one batch-1
+        # giant-spatial forward (b1@3840 measures ~5% MFU, PERF.md §3b;
+        # the same pixels as a batch run ~1.9x faster). Detections are
+        # reassembled by tile ownership + seam dedup — an approximation
+        # near seams, OFF by default; see infer/tiling.py for the
+        # correctness contract.
+        self.tile_grid = 2 if tile_top_scale is True else \
+            int(tile_top_scale or 0)
+        self.tile_halo = tile_halo
+        self.tile_min_size = tile_min_size
         # execute E-ELAN groups as single Pallas kernels (VMEM-resident
         # intermediates, models/fused.py); serving-only HBM-byte saver.
         # True fuses with the default kernel; a string selects a
@@ -330,6 +343,26 @@ class FaceDetector:
                                       auto=True)
 
     # ------------------------------------------------------------------
+    # tiled giant scales
+    # ------------------------------------------------------------------
+
+    def _tile_plan(self, img_size: int):
+        """TilePlan when tiling applies to this scale, else None."""
+        if self.tile_grid < 2 or img_size < self.tile_min_size:
+            return None
+        from face_detection_multi_scale_tpu.infer import tiling
+        return tiling.plan_tiles(img_size, self.tile_grid,
+                                 self.tile_halo, self.stride)
+
+    def _run_scale_tiled(self, inp: np.ndarray, plan) -> np.ndarray:
+        """One letterboxed S×S frame -> (n, 6+E) rows in the S×S frame,
+        computed as a single g²-tile batched call."""
+        from face_detection_multi_scale_tpu.infer import tiling
+        dets = self.run_network(tiling.extract_tiles(inp, plan))
+        return tiling.assemble_rows(NMS.detections_to_numpy(dets), plan,
+                                    self.iou_thres)
+
+    # ------------------------------------------------------------------
     # detection APIs
     # ------------------------------------------------------------------
 
@@ -350,8 +383,23 @@ class FaceDetector:
             img0 = self._load(img)
             img0_shape = img0.shape
 
+        # per-image tiling needs a SQUARE scale frame: api mode's
+        # pad-to-square gives one; standard mode letterboxes auto=True
+        # (rectangular) here, so tiling applies via the batch path's
+        # square auto=False variant instead (detect_multi_scale_batch)
+        plan = (self._tile_plan(img_size) if self.use_api_preprocess
+                else None)
         t1 = time.perf_counter()
-        if self.use_device_preprocess:
+        if plan is not None:
+            # tiled giant scale: host letterbox + one g²-tile batched
+            # call (the device-preprocess raw path doesn't tile; fetch
+            # the frame back if the raw upload is all we have)
+            if img0 is None:
+                img0 = np.asarray(_raw_dev)[0]
+            inp = self.preprocess(img0, img_size)
+            rows = self._run_scale_tiled(inp, plan)
+            inp_hw = inp.shape[:2]
+        elif self.use_device_preprocess:
             raw = (_raw_dev if _raw_dev is not None
                    else jnp.asarray(img0[None]))
             run, geom = self._executable_dev(img0_shape[:2], img_size,
@@ -359,11 +407,12 @@ class FaceDetector:
             dets = run(self.variables, raw)
             self._record_truncation(dets)
             inp_hw = geom.out_hw
+            rows = NMS.detections_to_numpy(dets)[0]
         else:
             inp = self.preprocess(img0, img_size)
             dets = self.run_network(inp[None])
             inp_hw = inp.shape[:2]
-        rows = NMS.detections_to_numpy(dets)[0]
+            rows = NMS.detections_to_numpy(dets)[0]
         t2 = time.perf_counter()
 
         rows = rows[:, :6]
@@ -427,21 +476,35 @@ class FaceDetector:
                 inputs = [LB.preprocess_standard(im, img_size,
                                                  self.stride, auto=False)
                           for im in loaded]
-            batch = np.stack(inputs)
-            dets = self.run_network(batch)
-            rows_list = NMS.detections_to_numpy(dets)
+            plan = self._tile_plan(img_size)
+            if plan is not None:
+                # giant scale: every image's g² halo'd tiles in ONE
+                # batched call, reassembled per image (infer/tiling.py)
+                from face_detection_multi_scale_tpu.infer import tiling
+                tiles = np.concatenate(
+                    [tiling.extract_tiles(inp, plan) for inp in inputs])
+                tile_rows = NMS.detections_to_numpy(
+                    self.run_network(tiles))
+                n = plan.n_tiles
+                rows_list = [tiling.assemble_rows(
+                    tile_rows[i * n:(i + 1) * n], plan, self.iou_thres)
+                    for i in range(len(inputs))]
+            else:
+                dets = self.run_network(np.stack(inputs))
+                rows_list = NMS.detections_to_numpy(dets)
+            frame_hw = inputs[0].shape[:2]
             for i, rows in enumerate(rows_list):
                 rows = rows[:, :6].astype(np.float64)
                 if len(rows):
                     if self.use_api_preprocess:
                         rows[:, :4] = LB.scale_coords_api(
-                            batch.shape[1:3], rows[:, :4],
+                            frame_hw, rows[:, :4],
                             loaded[i].shape).round()
                     else:
                         # centered auto=False letterbox inverts with the
                         # gain+pad formula, not the top-left API scale
                         rows[:, :4] = LB.scale_coords(
-                            batch.shape[1:3], rows[:, :4],
+                            frame_hw, rows[:, :4],
                             loaded[i].shape[:2]).round()
                 per_image[i].append(np.hstack([
                     rows, np.full((len(rows), 1), scale_idx)]))
