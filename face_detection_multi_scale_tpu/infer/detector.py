@@ -126,8 +126,13 @@ class FaceDetector:
         # correctness contract.
         self.tile_grid = 2 if tile_top_scale is True else \
             int(tile_top_scale or 0)
+        if self.tile_grid == 1:
+            raise ValueError(
+                "tile_top_scale=1 is not a tiling (grid must be >= 2); "
+                "pass 0/False for the untiled path")
         self.tile_halo = tile_halo
         self.tile_min_size = tile_min_size
+        self._warned_tile_standard = False
         # execute E-ELAN groups as single Pallas kernels (VMEM-resident
         # intermediates, models/fused.py); serving-only HBM-byte saver.
         # True fuses with the default kernel; a string selects a
@@ -168,6 +173,20 @@ class FaceDetector:
         over = n > self.max_candidates
         self._trunc_images += int(over.sum())
         self._trunc_total += int(n.size)
+        self._trunc_max_gated = max(self._trunc_max_gated, int(n.max()))
+        self._trunc_dropped += int(
+            np.clip(n - self.max_candidates, 0, None).sum())
+
+    def _record_truncation_tiled(self, dets, n_tiles: int) -> None:
+        """Tiled-scale telemetry: one report entry per IMAGE, not per
+        tile (the capacity is per tile, so an image is truncated iff any
+        of its tiles overflowed; dropped counts sum over its tiles)."""
+        if dets.n_gated is None:
+            return
+        n = np.asarray(dets.n_gated).reshape(-1, n_tiles)
+        self._trunc_images += int((n > self.max_candidates)
+                                  .any(axis=1).sum())
+        self._trunc_total += int(n.shape[0])
         self._trunc_max_gated = max(self._trunc_max_gated, int(n.max()))
         self._trunc_dropped += int(
             np.clip(n - self.max_candidates, 0, None).sum())
@@ -289,16 +308,20 @@ class FaceDetector:
             self._exec[key] = (run, geom)
         return self._exec[key]
 
-    def run_network(self, images_u8: np.ndarray) -> NMS.Detections:
+    def run_network(self, images_u8: np.ndarray, *,
+                    _record: bool = True) -> NMS.Detections:
         """Raw engine call: uint8 NHWC (bs, h, w, 3) -> device Detections.
 
         With a mesh attached, the batch is padded to a multiple of the
         mesh size, sharded along the data axis (params replicate), and
-        the padded tail is dropped from the result."""
+        the padded tail is dropped from the result. _record=False defers
+        truncation telemetry to the caller (the tiled paths record one
+        entry per image, not per tile)."""
         bs, h, w, _ = images_u8.shape
         if self.mesh is None:
             dets = self._executable(h, w)(self.variables, images_u8)
-            self._record_truncation(dets)
+            if _record:
+                self._record_truncation(dets)
             return dets
 
         from face_detection_multi_scale_tpu.parallel.mesh import (
@@ -314,7 +337,8 @@ class FaceDetector:
             dets = self._executable(h, w)(self.variables, sharded)
         if pad:
             dets = NMS.Detections(*(jax.device_get(x)[:bs] for x in dets))
-        self._record_truncation(dets)
+        if _record:
+            self._record_truncation(dets)
         return dets
 
     # ------------------------------------------------------------------
@@ -358,7 +382,9 @@ class FaceDetector:
         """One letterboxed S×S frame -> (n, 6+E) rows in the S×S frame,
         computed as a single g²-tile batched call."""
         from face_detection_multi_scale_tpu.infer import tiling
-        dets = self.run_network(tiling.extract_tiles(inp, plan))
+        dets = self.run_network(tiling.extract_tiles(inp, plan),
+                                _record=False)
+        self._record_truncation_tiled(dets, plan.n_tiles)
         return tiling.assemble_rows(NMS.detections_to_numpy(dets), plan,
                                     self.iou_thres)
 
@@ -389,13 +415,25 @@ class FaceDetector:
         # square auto=False variant instead (detect_multi_scale_batch)
         plan = (self._tile_plan(img_size) if self.use_api_preprocess
                 else None)
+        if (plan is None and not self.use_api_preprocess
+                and self._tile_plan(img_size) is not None
+                and not self._warned_tile_standard):
+            self._warned_tile_standard = True
+            import warnings
+            warnings.warn(
+                "tile_top_scale is inert on the per-image standard-"
+                "preprocess path (rectangular auto=True letterbox); use "
+                "use_api_preprocess=True or detect_multi_scale_batch "
+                "for tiled giant scales", RuntimeWarning, stacklevel=2)
         t1 = time.perf_counter()
         if plan is not None:
             # tiled giant scale: host letterbox + one g²-tile batched
-            # call (the device-preprocess raw path doesn't tile; fetch
-            # the frame back if the raw upload is all we have)
+            # call. The device-preprocess raw path doesn't tile —
+            # prefer the host frame we were handed; only fall back to
+            # fetching the raw upload when no host copy exists
             if img0 is None:
-                img0 = np.asarray(_raw_dev)[0]
+                img0 = (self._load(img) if img is not None
+                        else np.asarray(_raw_dev)[0])
             inp = self.preprocess(img0, img_size)
             rows = self._run_scale_tiled(inp, plan)
             inp_hw = inp.shape[:2]
@@ -483,8 +521,9 @@ class FaceDetector:
                 from face_detection_multi_scale_tpu.infer import tiling
                 tiles = np.concatenate(
                     [tiling.extract_tiles(inp, plan) for inp in inputs])
-                tile_rows = NMS.detections_to_numpy(
-                    self.run_network(tiles))
+                dets = self.run_network(tiles, _record=False)
+                self._record_truncation_tiled(dets, plan.n_tiles)
+                tile_rows = NMS.detections_to_numpy(dets)
                 n = plan.n_tiles
                 rows_list = [tiling.assemble_rows(
                     tile_rows[i * n:(i + 1) * n], plan, self.iou_thres)

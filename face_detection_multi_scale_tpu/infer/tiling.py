@@ -75,6 +75,13 @@ def plan_tiles(size: int, grid: int = 2, halo: int = 256,
         # than 2*halo somewhere. Grow the tile (still capped at S).
         tile = min(size, check_img_size(-(-size // grid) + 2 * halo,
                                         stride))
+    if tile >= size:
+        # tiles degenerated to g*g full-frame copies: g^2x the compute
+        # of the untiled forward for nothing
+        raise ValueError(
+            f"halo {halo} too large for size {size} / grid {grid}: "
+            f"tiles degenerate to the full frame — shrink halo or grid, "
+            f"or run untiled")
     span = size - tile
     origins = tuple(round(i * span / (grid - 1)) for i in range(grid))
     bounds = tuple((origins[i] + tile + origins[i + 1]) // 2

@@ -51,6 +51,12 @@ class TestPlanTiles:
         with pytest.raises(ValueError):
             tiling.plan_tiles(250, grid=2, halo=64, stride=64)
 
+    def test_rejects_degenerate_full_frame_tiles(self):
+        # halo so large the tiles grow to the full frame: g^2 identical
+        # copies of the untiled compute — must refuse, not "optimize"
+        with pytest.raises(ValueError, match="degenerate"):
+            tiling.plan_tiles(2048, grid=2, halo=1000, stride=64)
+
     def test_extract_tiles_matches_crops(self):
         rng = np.random.default_rng(0)
         frame = rng.integers(0, 255, (256, 256, 3), np.uint8)
@@ -115,7 +121,7 @@ def _marker_mock_run_network(max_det=300):
     each marker uses a distinct value."""
     from face_detection_multi_scale_tpu.ops import nms as NMS
 
-    def run(images_u8):
+    def run(images_u8, _record=True):
         images = np.asarray(images_u8)
         bs = images.shape[0]
         boxes = np.zeros((bs, max_det, 4), np.float32)
@@ -203,3 +209,34 @@ class TestDetectorTiling:
         assert det._tile_plan(128) is None     # below tile_min_size
         det.tile_grid = 0
         assert det._tile_plan(256) is None
+
+    def test_grid1_rejected_at_construction(self):
+        from face_detection_multi_scale_tpu.infer.detector import (
+            FaceDetector)
+        with pytest.raises(ValueError, match="tile_top_scale=1"):
+            FaceDetector("yolov7-lite-t", tile_top_scale=1)
+
+    def test_truncation_telemetry_per_image(self, tiled_detector):
+        # a tiled image must count as ONE report entry, not g^2 tiles
+        det = tiled_detector
+        det.tile_grid = 2
+        before = det.truncation_report()["images"]
+        img, _ = _marker_image()
+        det.detect_multi_scale_batch([img])
+        after = det.truncation_report()["images"]
+        assert after - before == 1
+
+    def test_standard_per_image_warns_once(self, tiled_detector):
+        det = tiled_detector
+        det.tile_grid = 2
+        det._warned_tile_standard = False
+        img, _ = _marker_image()
+        assert not det.use_api_preprocess
+        with pytest.warns(RuntimeWarning, match="tile_top_scale is "
+                                                "inert"):
+            det.detect_single_scale(img, 256)
+        # second call: silent (warn-once)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            det.detect_single_scale(img, 256)
