@@ -84,6 +84,11 @@ def main(argv=None):
                     help="execute E-ELAN groups as single Pallas kernels;\n"
                     "optionally a variant expression, e.g. 'pre:flat+im2col9+ab+ct'\n"
                     "(models/fused.apply_variant grammar)")
+    ap.add_argument("--tile-top-scale", type=int, default=0,
+                    help="run giant scales (>= 2048 px) as a g x g batch "
+                         "of halo'd tiles (g=this value; 0=off) — "
+                         "escapes the batch-1 giant-conv MFU cliff; "
+                         "approximation near seams (infer/tiling.py)")
     ap.add_argument("--device-preprocess", action="store_true",
                     help="fuse resize+pad+normalize into the network "
                          "executable (uint8 raw frames are the only H2D "
@@ -111,6 +116,7 @@ def main(argv=None):
                        iou_thres=args.iou_thres,
                        use_device_preprocess=args.device_preprocess,
                        fuse_elan=args.fuse_elan,
+                       tile_top_scale=args.tile_top_scale,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
 

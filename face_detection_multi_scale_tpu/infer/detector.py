@@ -566,14 +566,16 @@ class FaceDetector:
         img_size = check_img_size(img_size, self.stride)
         loaded = [self._load(img) for img in imgs]
         shapes = [im.shape for im in loaded]
-        if (self.use_device_preprocess and self.mesh is None
-                and len(set(shapes)) == 1):
+        plan = self._tile_plan(img_size)
+        if (plan is None and self.use_device_preprocess
+                and self.mesh is None and len(set(shapes)) == 1):
             # uniform raw shapes (e.g. video frames): upload raw uint8,
             # fuse preprocess into the network executable
             run, geom = self._executable_dev(shapes[0][:2], img_size,
                                              auto=False)
             dets = run(self.variables, jnp.asarray(np.stack(loaded)))
             self._record_truncation(dets)
+            rows_list = NMS.detections_to_numpy(dets)
         else:
             inputs = []
             for img0 in loaded:
@@ -583,8 +585,22 @@ class FaceDetector:
                 else:
                     inputs.append(LB.preprocess_standard(
                         img0, img_size, self.stride, auto=False))
-            dets = self.run_network(np.stack(inputs))
-        rows_list = NMS.detections_to_numpy(dets)
+            if plan is not None:
+                # giant single scale: every image's g² halo'd tiles in
+                # one batched call (same transform as the TTA path)
+                from face_detection_multi_scale_tpu.infer import tiling
+                tiles = np.concatenate(
+                    [tiling.extract_tiles(inp, plan) for inp in inputs])
+                dets = self.run_network(tiles, _record=False)
+                self._record_truncation_tiled(dets, plan.n_tiles)
+                tile_rows = NMS.detections_to_numpy(dets)
+                n = plan.n_tiles
+                rows_list = [tiling.assemble_rows(
+                    tile_rows[i * n:(i + 1) * n], plan, self.iou_thres)
+                    for i in range(len(inputs))]
+            else:
+                dets = self.run_network(np.stack(inputs))
+                rows_list = NMS.detections_to_numpy(dets)
         out = []
         for rows, shape in zip(rows_list, shapes):
             rows = rows.astype(np.float64)

@@ -210,6 +210,19 @@ class TestDetectorTiling:
         det.tile_grid = 0
         assert det._tile_plan(256) is None
 
+    def test_detect_batch_tiled_equals_untiled(self, tiled_detector):
+        # the single-scale throughput path (cli/detect.py) tiles too
+        det = tiled_detector
+        img, n = _marker_image()
+        det.tile_grid = 2
+        tiled = det.detect_batch([img, img], 256, kpt=False)
+        det.tile_grid = 0
+        untiled = det.detect_batch([img, img], 256, kpt=False)
+        for t, u in zip(tiled, untiled):
+            assert len(t) == len(u) == n
+            order = lambda r: r[np.argsort(r[:, 4])]
+            np.testing.assert_allclose(order(t), order(u))
+
     def test_grid1_rejected_at_construction(self):
         from face_detection_multi_scale_tpu.infer.detector import (
             FaceDetector)
