@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--fuse-elan", nargs="?", const=True,
                     default=False,
                     help="fused E-ELAN serving kernels (optional variant expression)")
+    ap.add_argument("--micro-batch", type=int, default=None,
+                    help="lax.map the engine over chunks of this size "
+                         "inside one jit (HBM-capacity lever for large "
+                         "images: w6@1280 wants 8, PERF.md §3d)")
     ap.add_argument("--tile-top-scale", type=int, default=0,
                     help="run pyramid scales >= 2048 px as a g x g "
                          "batch of halo'd tiles (g=this value; 0=off). "
@@ -78,6 +82,7 @@ def main(argv=None):
         img_sizes=tuple(args.img_sizes), conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, use_api_preprocess=True,
         fuse_elan=args.fuse_elan, tile_top_scale=args.tile_top_scale,
+        micro_batch=args.micro_batch,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     pipeline = ProductionPipeline(
         detector, args.output_dir, args.max_faces_dir,

@@ -84,6 +84,10 @@ def main(argv=None):
                     help="execute E-ELAN groups as single Pallas kernels;\n"
                     "optionally a variant expression, e.g. 'pre:flat+im2col9+ab+ct'\n"
                     "(models/fused.apply_variant grammar)")
+    ap.add_argument("--micro-batch", type=int, default=None,
+                    help="lax.map the engine over chunks of this size "
+                         "inside one jit (HBM-capacity lever for large "
+                         "images: w6@1280 wants 8, PERF.md §3d)")
     ap.add_argument("--tile-top-scale", type=int, default=0,
                     help="run giant scales (>= 2048 px) as a g x g batch "
                          "of halo'd tiles (g=this value; 0=off) — "
@@ -116,6 +120,7 @@ def main(argv=None):
                        iou_thres=args.iou_thres,
                        use_device_preprocess=args.device_preprocess,
                        fuse_elan=args.fuse_elan,
+                       micro_batch=args.micro_batch,
                        tile_top_scale=args.tile_top_scale,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
