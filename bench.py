@@ -107,7 +107,10 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
         "max_candidates": max_candidates,
         "images_per_sec": round(batch * iters / dt, 2),
     }
-    if micro_batch:
+    if micro_batch and batch > micro_batch and batch % micro_batch == 0:
+        # stamp only when the engine actually chunked — engine_v falls
+        # back to whole-batch otherwise, and the row must not claim a
+        # configuration that never ran
         point["micro_batch"] = micro_batch
 
     if with_h2d:
@@ -207,12 +210,21 @@ def run_sweep(smoke: bool, out_path=None) -> list:
              True, 8),
         ]
     rows = []
+    # train rows come from tools/train_bench.py --record — a sweep
+    # re-measures the inference side only and must not wipe them
+    preserved = []
+    if out_path is not None and out_path.exists():
+        try:
+            preserved = [r for r in json.loads(out_path.read_text())
+                         if r.get("mode") == "train"]
+        except Exception:
+            preserved = []
 
     def emit(row):
         rows.append(row)
         print(json.dumps(row), file=sys.stderr)
         if out_path is not None:
-            out_path.write_text(json.dumps(rows, indent=1))
+            out_path.write_text(json.dumps(rows + preserved, indent=1))
 
     for p in pts:
         emit(run_point(*p))

@@ -797,8 +797,15 @@ def _proc_get_batch(task):
     augmentation draw for a given batch is deterministic no matter which
     worker picks the task (the reference instead seeds each torch worker
     process, utils/datasets.py:59-87 + torch worker_init, which makes the
-    stream depend on the worker->batch schedule)."""
-    idxs, batch_seed = task
+    stream depend on the worker->batch schedule).
+
+    `ds_indices` is the parent's CURRENT dataset.indices: the parent
+    mutates it per epoch under --image-weights (cli/train.py), but the
+    worker's forked dataset snapshot would keep the epoch-0 list forever
+    — so the resample rides along with every task (a few KB of ints)."""
+    idxs, batch_seed, ds_indices = task
+    if ds_indices is not None:
+        _WORKER_DS.indices = ds_indices
     if batch_seed is not None:
         random.seed(batch_seed)
         np.random.seed(batch_seed % (2 ** 32))
@@ -852,7 +859,14 @@ class DataLoader:
         assert mode in ("thread", "process"), mode
         self.mode = mode
         self.epoch = 0
-        self._pool = None  # persistent process pool, built lazily
+        self._pool = None  # persistent process pool
+        if self.mode == "process" and self.workers > 1:
+            # fork the pool EAGERLY: forking after the JAX runtime has
+            # spawned its backend/dispatch threads risks the classic
+            # fork-while-a-thread-holds-a-lock deadlock in the children;
+            # at loader construction the runtime is usually not (fully)
+            # up yet, which is the safest point we control
+            self._get_pool()
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -955,6 +969,7 @@ class DataLoader:
                              (b + 1) * self.batch_size]]
                 batch_seed = hash((self.seed, self.epoch, b)) & 0x7FFFFFFF
                 inflight.append(pool.apply_async(
-                    _proc_get_batch, ((chunk, batch_seed),)))
+                    _proc_get_batch,
+                    ((chunk, batch_seed, list(self.dataset.indices)),)))
                 b += 1
             yield collate(inflight.popleft().get())

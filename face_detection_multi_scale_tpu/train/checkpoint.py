@@ -44,9 +44,17 @@ def save_checkpoint(ckpt_dir: str, tag: str, state, meta: Dict[str, Any]):
 
     path = os.path.abspath(os.path.join(ckpt_dir, tag))
     tmp, old = path + ".tmp", path + ".old"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            # a previous save crashed mid-swap: <tag>.old holds the only
+            # restorable state. ADOPT it back to <tag> instead of
+            # deleting it — otherwise a crash during the (multi-second)
+            # orbax save below would leave NOTHING restorable
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
     ckptr = _ckptr()
     ckptr.save(tmp, jax.device_get(state))
     ckptr.wait_until_finished()

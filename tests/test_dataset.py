@@ -175,6 +175,30 @@ def test_dataloader_process_mode(fake_data):
         lb.close()
 
 
+def test_dataloader_process_mode_honors_indices_resample(fake_data):
+    """--image-weights mutates dataset.indices per epoch in the PARENT
+    (cli/train.py); the forked workers' dataset snapshot must not pin
+    the epoch-0 resample — the current indices ride along with every
+    batch task."""
+    ds = FaceDataset(fake_data, img_size=192, augment=False, hyp={})
+    loader = DataLoader(ds, batch_size=2, shuffle=False, workers=2,
+                        mode="process", drop_last=True)
+    try:
+        list(loader)  # epoch 0 with the identity indices
+        ds.indices = list(reversed(range(len(ds))))  # parent resample
+        got = list(loader)
+    finally:
+        loader.close()
+    ref_ds = FaceDataset(fake_data, img_size=192, augment=False, hyp={})
+    ref_ds.indices = list(reversed(range(len(ref_ds))))
+    want = list(DataLoader(ref_ds, batch_size=2, shuffle=False,
+                           workers=1, drop_last=True))
+    assert len(got) == len(want)
+    for (gi, gl, gp, _), (wi, wl, wp, _) in zip(got, want):
+        np.testing.assert_array_equal(gi, wi)
+        assert gp == wp
+
+
 def test_dataloader_process_mode_propagates_errors(fake_data):
     ds = FaceDataset(fake_data, img_size=192, augment=False, hyp={})
 

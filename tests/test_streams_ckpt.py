@@ -130,6 +130,47 @@ def test_save_checkpoint_crash_safe(tmp_path, monkeypatch):
             assert meta["epoch"] == 3
 
 
+def test_save_adopts_parked_old_after_midswap_crash(tmp_path,
+                                                    monkeypatch):
+    """After a crash between park and move-in, <tag>.old holds the only
+    restorable state. The NEXT save must adopt it back to <tag> before
+    attempting the (crashable, multi-second) orbax write — deleting it
+    first would open a window with zero restorable checkpoints."""
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.train import checkpoint as CKPT
+    from face_detection_multi_scale_tpu.train.trainer import (
+        create_train_state)
+
+    spec = zoo.get_spec("yolov7-lite-t")
+    _, variables = init_model(spec, img_size=64)
+    state = create_train_state(variables)
+
+    CKPT.save_checkpoint(str(tmp_path), "last", state, {"epoch": 1})
+    # simulate the mid-swap crash state: parked at .old, nothing at last
+    (tmp_path / "last").rename(tmp_path / "last.old")
+
+    class BoomCkptr:
+        def save(self, *a, **k):
+            raise RuntimeError("simulated crash during orbax save")
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(CKPT, "_ckptr", lambda: BoomCkptr())
+    try:
+        CKPT.save_checkpoint(str(tmp_path), "last", state, {"epoch": 2})
+        crashed = False
+    except RuntimeError:
+        crashed = True
+    monkeypatch.undo()
+    assert crashed
+    # epoch-1 must still restore (adopted back to <tag>)
+    restored, meta = CKPT.load_checkpoint(str(tmp_path), "last", state)
+    assert meta["epoch"] == 1
+    assert restored is not None
+
+
 def test_orbax_state_roundtrip(tmp_path):
     import jax
 

@@ -1,6 +1,7 @@
 #!/bin/bash
 # Round-4 sequential chip work (relay is back). Logs to chiplogs/.
 cd /root/repo
+mkdir -p chiplogs
 set -x
 date
 # 1. Repair the perf record: full operating-point sweep -> BENCH_SWEEP.json

@@ -5,6 +5,7 @@
 # Logs to chiplogs/; every tool emits rows incrementally so a relay
 # death mid-run keeps what was measured.
 cd /root/repo
+mkdir -p chiplogs
 set -x
 date
 # 1. Where does tiny's 41% / w6's 25% roofline gap live?

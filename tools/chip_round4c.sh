@@ -8,6 +8,7 @@
 #  - train-throughput rows re-measured and recorded into
 #    BENCH_SWEEP.json (--record) so the published table keeps both sides
 cd /root/repo
+mkdir -p chiplogs
 set -x
 date
 timeout 4800 python tools/profile_stages.py --model yolov7-tiny-face \

@@ -211,19 +211,20 @@ def main():
 
 
 def record_row(row):
-    """Append/refresh a train row in BENCH_SWEEP.json, keyed on
-    (model, img_size, mode) — bench.py --sweep rewrites only the
-    inference rows, so the train side of the published table is
+    """Append/refresh a train row in BENCH_SWEEP.json, keyed on the
+    full operating point (model, img_size, batch, dtype, mode) so
+    distinct batch sizes / dtypes coexist — bench.py --sweep preserves
+    mode=train rows, so the train side of the published table is
     recorded from here."""
     p = Path(__file__).resolve().parent.parent / "BENCH_SWEEP.json"
     try:
         rows = json.loads(p.read_text())
     except FileNotFoundError:
         rows = []
-    key = (row["model"], row["img_size"], row["mode"])
+    key_fields = ("model", "img_size", "batch", "dtype", "mode")
+    key = tuple(row.get(k) for k in key_fields)
     rows = [r for r in rows
-            if (r.get("model"), r.get("img_size"),
-                r.get("mode")) != key]
+            if tuple(r.get(k) for k in key_fields) != key]
     rows.append(row)
     p.write_text(json.dumps(rows, indent=1))
 
