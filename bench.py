@@ -216,7 +216,7 @@ def run_sweep(smoke: bool, out_path=None) -> list:
     if out_path is not None and out_path.exists():
         try:
             preserved = [r for r in json.loads(out_path.read_text())
-                         if r.get("mode") == "train"]
+                         if str(r.get("mode", "")).startswith("train")]
         except Exception:
             preserved = []
 

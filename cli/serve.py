@@ -87,11 +87,10 @@ def main(argv=None):
     ap.add_argument("--iou-thres", type=float, default=0.45)
     ap.add_argument("--port", type=int, default=5000)
     ap.add_argument("--host", default="0.0.0.0")
-    ap.add_argument("--micro-batch", type=int, default=None,
-                    help="run the engine as lax.map over chunks of this "
-                         "size inside one jit — the measured answer for "
-                         "HBM-capacity-capped points (w6@1280: chunks "
-                         "of 8, PERF.md §3d)")
+    # (no --micro-batch here: the HTTP handler serves one image per
+    # request, and the engine falls back to whole-batch at batch <=
+    # micro_batch — the flag would be inert; it lives on the CLIs that
+    # actually batch, cli/detect.py and cli/batch_predict.py)
     args = ap.parse_args(argv)
 
     from face_detection_multi_scale_tpu.infer.detector import FaceDetector
@@ -101,8 +100,7 @@ def main(argv=None):
     DETECTOR = FaceDetector(args.model, torch_weights=args.weights,
                             img_sizes=(args.img_size,),
                             conf_thres=args.conf_thres,
-                            iou_thres=args.iou_thres,
-                            micro_batch=args.micro_batch)
+                            iou_thres=args.iou_thres)
     DETECTOR.warmup(args.img_size)
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"serving on http://{args.host}:{args.port}"

@@ -799,10 +799,12 @@ def _proc_get_batch(task):
     process, utils/datasets.py:59-87 + torch worker_init, which makes the
     stream depend on the worker->batch schedule).
 
-    `ds_indices` is the parent's CURRENT dataset.indices: the parent
-    mutates it per epoch under --image-weights (cli/train.py), but the
-    worker's forked dataset snapshot would keep the epoch-0 list forever
-    — so the resample rides along with every task (a few KB of ints)."""
+    `ds_indices` is the parent's CURRENT dataset.indices when it has
+    diverged from the fork-time snapshot (per-epoch --image-weights
+    resampling, cli/train.py) — the worker's forked dataset would keep
+    the epoch-0 list forever. None = unchanged since fork (the common
+    unweighted case: zero extra IPC); once diverged, the compact int
+    array rides with every task so any worker is always current."""
     idxs, batch_seed, ds_indices = task
     if ds_indices is not None:
         _WORKER_DS.indices = ds_indices
@@ -880,6 +882,10 @@ class DataLoader:
             methods = mp.get_all_start_methods()
             ctx = mp.get_context(
                 "fork" if "fork" in methods else "spawn")
+            # snapshot identity: tasks ship dataset.indices only after
+            # the parent reassigns it (image-weights resampling) —
+            # unweighted epochs pay no per-task indices IPC
+            self._fork_indices = self.dataset.indices
             self._pool = ctx.Pool(self.workers,
                                   initializer=_proc_worker_init,
                                   initargs=(self.dataset,))
@@ -968,8 +974,10 @@ class DataLoader:
                          idx[b * self.batch_size:
                              (b + 1) * self.batch_size]]
                 batch_seed = hash((self.seed, self.epoch, b)) & 0x7FFFFFFF
+                cur = self.dataset.indices
+                ship = (None if cur is self._fork_indices
+                        else np.asarray(cur, np.int64))
                 inflight.append(pool.apply_async(
-                    _proc_get_batch,
-                    ((chunk, batch_seed, list(self.dataset.indices)),)))
+                    _proc_get_batch, ((chunk, batch_seed, ship),)))
                 b += 1
             yield collate(inflight.popleft().get())

@@ -378,15 +378,26 @@ class FaceDetector:
         return tiling.plan_tiles(img_size, self.tile_grid,
                                  self.tile_halo, self.stride)
 
-    def _run_scale_tiled(self, inp: np.ndarray, plan) -> np.ndarray:
-        """One letterboxed S×S frame -> (n, 6+E) rows in the S×S frame,
-        computed as a single g²-tile batched call."""
+    def _run_tiled_batch(self, inputs, plan) -> List[np.ndarray]:
+        """Letterboxed square frames -> per-frame (n, 6+E) rows in frame
+        coords: ALL frames' g² halo'd tiles in one batched call,
+        reassembled per frame by tile ownership + seam dedup, with
+        per-image (not per-tile) truncation telemetry. The single tiled
+        call sequence shared by every tiled path."""
         from face_detection_multi_scale_tpu.infer import tiling
-        dets = self.run_network(tiling.extract_tiles(inp, plan),
-                                _record=False)
+        tiles = np.concatenate(
+            [tiling.extract_tiles(inp, plan) for inp in inputs])
+        dets = self.run_network(tiles, _record=False)
         self._record_truncation_tiled(dets, plan.n_tiles)
-        return tiling.assemble_rows(NMS.detections_to_numpy(dets), plan,
-                                    self.iou_thres)
+        tile_rows = NMS.detections_to_numpy(dets)
+        n = plan.n_tiles
+        return [tiling.assemble_rows(tile_rows[i * n:(i + 1) * n], plan,
+                                     self.iou_thres)
+                for i in range(len(inputs))]
+
+    def _run_scale_tiled(self, inp: np.ndarray, plan) -> np.ndarray:
+        """One letterboxed S×S frame -> (n, 6+E) rows in the S×S frame."""
+        return self._run_tiled_batch([inp], plan)[0]
 
     # ------------------------------------------------------------------
     # detection APIs
@@ -416,7 +427,7 @@ class FaceDetector:
         plan = (self._tile_plan(img_size) if self.use_api_preprocess
                 else None)
         if (plan is None and not self.use_api_preprocess
-                and self._tile_plan(img_size) is not None
+                and self.tile_grid >= 2 and img_size >= self.tile_min_size
                 and not self._warned_tile_standard):
             self._warned_tile_standard = True
             import warnings
@@ -518,16 +529,7 @@ class FaceDetector:
             if plan is not None:
                 # giant scale: every image's g² halo'd tiles in ONE
                 # batched call, reassembled per image (infer/tiling.py)
-                from face_detection_multi_scale_tpu.infer import tiling
-                tiles = np.concatenate(
-                    [tiling.extract_tiles(inp, plan) for inp in inputs])
-                dets = self.run_network(tiles, _record=False)
-                self._record_truncation_tiled(dets, plan.n_tiles)
-                tile_rows = NMS.detections_to_numpy(dets)
-                n = plan.n_tiles
-                rows_list = [tiling.assemble_rows(
-                    tile_rows[i * n:(i + 1) * n], plan, self.iou_thres)
-                    for i in range(len(inputs))]
+                rows_list = self._run_tiled_batch(inputs, plan)
             else:
                 dets = self.run_network(np.stack(inputs))
                 rows_list = NMS.detections_to_numpy(dets)
@@ -586,18 +588,8 @@ class FaceDetector:
                     inputs.append(LB.preprocess_standard(
                         img0, img_size, self.stride, auto=False))
             if plan is not None:
-                # giant single scale: every image's g² halo'd tiles in
-                # one batched call (same transform as the TTA path)
-                from face_detection_multi_scale_tpu.infer import tiling
-                tiles = np.concatenate(
-                    [tiling.extract_tiles(inp, plan) for inp in inputs])
-                dets = self.run_network(tiles, _record=False)
-                self._record_truncation_tiled(dets, plan.n_tiles)
-                tile_rows = NMS.detections_to_numpy(dets)
-                n = plan.n_tiles
-                rows_list = [tiling.assemble_rows(
-                    tile_rows[i * n:(i + 1) * n], plan, self.iou_thres)
-                    for i in range(len(inputs))]
+                # giant single scale: same tiled transform as TTA
+                rows_list = self._run_tiled_batch(inputs, plan)
             else:
                 dets = self.run_network(np.stack(inputs))
                 rows_list = NMS.detections_to_numpy(dets)
