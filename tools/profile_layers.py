@@ -53,6 +53,9 @@ def main():
                     help="comma list of node indices, or auto:N for N "
                          "roughly equal-flop segments")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
+    ap.add_argument("--warmup", type=float, default=60,
+                    help="seconds of matmul burn before the first timed "
+                         "point (cold-clock guard); 0 disables")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +86,18 @@ def main():
         0, 255, (args.batch, args.img_size, args.img_size, 3), np.uint8))
         for _ in range(args.pool)]
     jax.block_until_ready(batches)
+
+    if args.warmup > 0 and args.platform != "cpu":
+        # cold-clock guard (measured 2026-08-18: the first point of a
+        # fresh process read 72 ms for a segment that re-measures at
+        # 17.6 warm, making cumulative times non-monotonic) — burn the
+        # chip up to clock speed before the first timed point
+        import time as _t
+        x = jax.device_put(jnp.ones((4096, 4096), jnp.bfloat16))
+        t0 = _t.time()
+        while _t.time() - t0 < args.warmup:
+            x = x @ x * 1e-4
+            float(x.sum())
 
     def trunc(i):
         def f(v, x):
