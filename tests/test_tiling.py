@@ -69,6 +69,40 @@ class TestPlanTiles:
                                       frame[64:256, 64:256])
 
 
+class TestPlanTilesFuzz:
+    def test_invariants_over_config_space(self):
+        """For every (size, grid, halo) in a broad grid: plan_tiles
+        either raises ValueError (degenerate) or yields a plan where
+        (a) tiles stay inside the frame, (b) ownership cells partition
+        it exactly, and (c) every adjacent overlap is >= 2*halo — the
+        contract assemble_rows' halo-context guarantee rests on."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(size_mult=st.integers(2, 64), grid=st.integers(2, 5),
+               halo=st.integers(0, 1024))
+        def check(size_mult, grid, halo):
+            size = 64 * size_mult
+            try:
+                p = tiling.plan_tiles(size, grid=grid, halo=halo,
+                                      stride=64)
+            except ValueError:
+                return  # degenerate configs must raise, not mis-plan
+            assert p.tile % 64 == 0 and p.tile < p.size
+            assert p.origins[0] == 0
+            assert p.origins[-1] + p.tile <= p.size
+            assert all(a < b for a, b in zip(p.origins, p.origins[1:]))
+            cells = [tiling.owner_interval(p, i) for i in range(p.grid)]
+            assert cells[0][0] == 0 and cells[-1][1] == p.size
+            for (_, hi), (lo, _) in zip(cells, cells[1:]):
+                assert hi == lo
+            for a, b in zip(p.origins, p.origins[1:]):
+                assert a + p.tile - b >= 2 * halo
+
+        check()
+
+
 class TestAssembleRows:
     plan = tiling.plan_tiles(256, grid=2, halo=64, stride=64)
 
