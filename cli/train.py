@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--noval", action="store_true")
     ap.add_argument("--nosave", action="store_true",
                     help="skip checkpoint writing (train.py:594)")
+    ap.add_argument("--async-checkpoint", action="store_true",
+                    help="overlap checkpoint disk writes with the next "
+                         "epoch's training (orbax AsyncCheckpointer; "
+                         "same crash contract as the sync path — the "
+                         "atomic swap runs at completion)")
     ap.add_argument("--adam", action="store_true",
                     help="Adam optimizer, betas=(momentum, 0.999) "
                          "(train.py:182-185)")
@@ -135,6 +140,9 @@ def train_run(args, hyp_override=None, quiet=False):
     save_dir = increment_path(Path(args.project) / args.name, args.exist_ok)
     ckpt_dir = save_dir / "weights"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_writer = (CKPT.AsyncCheckpointWriter()
+                   if args.async_checkpoint else None)
+    save_ckpt = ckpt_writer.save if ckpt_writer else CKPT.save_checkpoint
 
     hyp = dict(hyp_override) if hyp_override else get_hyp(args.hyp)
     if args.label_smoothing:
@@ -425,14 +433,12 @@ train_plots import plot_images
                         "fitness": fit, "results": results,
                         "wandb_id": logger.run_id}
                 if not args.nosave:  # train.py:594 final-epoch-only
-                    CKPT.save_checkpoint(str(ckpt_dir), "last", state,
-                                         meta)
+                    save_ckpt(str(ckpt_dir), "last", state, meta)
                 if fit > best_fitness:
                     best_fitness = fit
                     meta["best_fitness"] = best_fitness
                     if not args.nosave:
-                        CKPT.save_checkpoint(str(ckpt_dir), "best",
-                                             state, meta)
+                        save_ckpt(str(ckpt_dir), "best", state, meta)
                 print(f"epoch {epoch} done in {dt:.1f}s "
                       f"loss {c[5]:.4f} fitness {fit:.4f}")
 
@@ -448,6 +454,9 @@ train_plots import plot_images
 
         # finalize: strip to EMA inference weights
         # (strip_optimizer equivalent)
+        if ckpt_writer is not None:
+            # an in-flight async save must be durable before finalize
+            ckpt_writer.close()
         if is_main_process():
             # results.png from the metrics JSONL (plot_results,
             # train.py:540-544)

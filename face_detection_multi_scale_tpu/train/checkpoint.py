@@ -40,35 +40,103 @@ def save_checkpoint(ckpt_dir: str, tag: str, state, meta: Dict[str, Any]):
     """
     if jax.process_index() != 0:
         return
+    path = os.path.abspath(os.path.join(ckpt_dir, tag))
+    _pre_save(path)
+    ckptr = _ckptr()
+    ckptr.save(path + ".tmp", jax.device_get(state))
+    ckptr.wait_until_finished()
+    _finalize_swap(path, meta)
+
+
+def _pre_save(path: str):
+    """Clear a stale .tmp and resolve a parked .old BEFORE a new write:
+    if a previous save crashed mid-swap, <tag>.old holds the only
+    restorable state — ADOPT it back to <tag> instead of deleting it,
+    otherwise a crash during the (multi-second) orbax save would leave
+    NOTHING restorable."""
     import shutil
 
-    path = os.path.abspath(os.path.join(ckpt_dir, tag))
     tmp, old = path + ".tmp", path + ".old"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     if os.path.exists(old):
         if not os.path.exists(path):
-            # a previous save crashed mid-swap: <tag>.old holds the only
-            # restorable state. ADOPT it back to <tag> instead of
-            # deleting it — otherwise a crash during the (multi-second)
-            # orbax save below would leave NOTHING restorable
             os.rename(old, path)
         else:
             shutil.rmtree(old)
-    ckptr = _ckptr()
-    ckptr.save(tmp, jax.device_get(state))
-    ckptr.wait_until_finished()
+
+
+def _finalize_swap(path: str, meta: Dict[str, Any]):
+    """Swap a COMPLETE <tag>.tmp in: write the meta sidecar, park the
+    live ckpt at .old, move the new one in, drop .old. Each step is a
+    rename (atomic) or a delete of a spare copy."""
+    import shutil
+
+    old = path + ".old"
     meta_tmp = path + ".meta.json.tmp"
     with open(meta_tmp, "w") as f:
         json.dump(meta, f)
-    # swap: park the live ckpt at .old, move the new one in, then drop
-    # .old. Each step is a rename (atomic) or a delete of a spare copy.
     if os.path.exists(path):
         os.rename(path, old)
-    os.rename(tmp, path)
+    os.rename(path + ".tmp", path)
     os.replace(meta_tmp, path + ".meta.json")
     if os.path.exists(old):
         shutil.rmtree(old)
+
+
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint saves: the orbax write of epoch N runs
+    while epoch N+1 trains (the reference's torch.save blocks the loop,
+    train.py:517-534; on TPU the state is already host-fetched numpy,
+    so the disk write needn't stall the step stream).
+
+    At most one save is in flight; a new save() waits for the previous.
+    The crash contract matches save_checkpoint exactly — the tmp/old
+    swap runs only at completion (inside wait()/the next save()/
+    close()), so a crash at ANY point leaves a restorable <tag> or
+    <tag>.old, and a completed-but-unswapped .tmp counts as never
+    saved (the next save's _pre_save discards it)."""
+
+    def __init__(self):
+        self._ckptr = None
+        self._pending = None  # (path, meta) awaiting swap
+
+    def _get(self):
+        if self._ckptr is None:
+            import orbax.checkpoint as ocp
+
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        return self._ckptr
+
+    def save(self, ckpt_dir: str, tag: str, state,
+             meta: Dict[str, Any]):
+        if jax.process_index() != 0:
+            return
+        self.wait()
+        path = os.path.abspath(os.path.join(ckpt_dir, tag))
+        _pre_save(path)
+        # device_get NOW: the async write must capture this step's
+        # values, and the background thread must not fetch through the
+        # device runtime mid-training
+        self._get().save(path + ".tmp", jax.device_get(state))
+        self._pending = (path, dict(meta))
+
+    def wait(self):
+        """Block until the in-flight save (if any) is durable: orbax
+        finished writing .tmp AND the atomic swap ran."""
+        if self._pending is None:
+            return
+        self._get().wait_until_finished()
+        path, meta = self._pending
+        self._pending = None
+        _finalize_swap(path, meta)
+
+    def close(self):
+        self.wait()
+        if self._ckptr is not None:
+            self._ckptr.close()
+            self._ckptr = None
 
 
 def load_checkpoint(ckpt_dir: str, tag: str, template) -> Tuple[Any, Dict]:

@@ -171,6 +171,55 @@ def test_save_adopts_parked_old_after_midswap_crash(tmp_path,
     assert restored is not None
 
 
+def test_async_checkpoint_writer(tmp_path):
+    """AsyncCheckpointWriter semantics: a save is durable after wait()
+    (or the implicit wait of the next save / close), restores
+    identically to the sync path, and a completed-but-unswapped .tmp
+    from an abandoned save counts as never saved."""
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.train import checkpoint as CKPT
+    from face_detection_multi_scale_tpu.train.trainer import (
+        create_train_state)
+
+    spec = zoo.get_spec("yolov7-lite-t")
+    _, variables = init_model(spec, img_size=64)
+    state = create_train_state(variables)
+
+    w = CKPT.AsyncCheckpointWriter()
+    try:
+        w.save(str(tmp_path), "last", state, {"epoch": 1})
+        w.wait()
+        _, meta = CKPT.load_checkpoint(str(tmp_path), "last", state)
+        assert meta["epoch"] == 1
+        # back-to-back saves: the second's implicit wait swaps the first
+        w.save(str(tmp_path), "last", state, {"epoch": 2})
+        w.save(str(tmp_path), "best", state, {"epoch": 2})
+        w.wait()
+        _, meta = CKPT.load_checkpoint(str(tmp_path), "last", state)
+        assert meta["epoch"] == 2
+        _, meta = CKPT.load_checkpoint(str(tmp_path), "best", state)
+        assert meta["epoch"] == 2
+    finally:
+        w.close()
+
+    # abandoned in-flight save: writer dies (process crash) after orbax
+    # finished the tmp but before the swap — the next save discards the
+    # stale tmp and the previous checkpoint still restores
+    w2 = CKPT.AsyncCheckpointWriter()
+    w2.save(str(tmp_path), "last", state, {"epoch": 3})
+    w2._get().wait_until_finished()  # tmp complete on disk
+    assert (tmp_path / "last.tmp").exists()
+    w2._pending = None               # simulate crash-before-swap
+    w2.close()
+    _, meta = CKPT.load_checkpoint(str(tmp_path), "last", state)
+    assert meta["epoch"] == 2        # unswapped tmp == never saved
+    CKPT.save_checkpoint(str(tmp_path), "last", state, {"epoch": 4})
+    _, meta = CKPT.load_checkpoint(str(tmp_path), "last", state)
+    assert meta["epoch"] == 4
+    assert not (tmp_path / "last.tmp").exists()
+
+
 def test_orbax_state_roundtrip(tmp_path):
     import jax
 
