@@ -208,6 +208,9 @@ def run_sweep(smoke: bool, out_path=None) -> list:
             # 110 (the chunk itself spills) — PERF.md §3d
             ("yolov7-w6-face", 1280, 32, 8, 2, "bfloat16", 0.25, 1024,
              True, 8),
+            # 1280 eval point (3-repeat pinned 171±2, 2026-08-18)
+            ("yolov7-w6-face", 1280, 32, 8, 2, "bfloat16", 0.01, 4096,
+             True, 8),
         ]
     rows = []
     # train rows come from tools/train_bench.py --record — a sweep
