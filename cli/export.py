@@ -19,11 +19,14 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--format", default="stablehlo",
                     choices=["stablehlo", "savedmodel", "onnx"],
-                    help="onnx uses the jax2tf->tf2onnx bridge and needs "
-                         "the optional tf2onnx+onnx packages")
+                    help="onnx serializes natively (no extra packages); "
+                         "add --export-nms to use the jax2tf->tf2onnx "
+                         "bridge (optional tf2onnx+onnx packages)")
     ap.add_argument("--output", default=None)
-    ap.add_argument("--export-nms", action="store_true", default=True,
-                    help="fuse decode + NMS into the artifact (default)")
+    ap.add_argument("--export-nms", action="store_true", default=None,
+                    help="fuse decode + NMS into the artifact (default "
+                         "for stablehlo/savedmodel; off for onnx, "
+                         "matching the reference's ONNX contract)")
     ap.add_argument("--no-export-nms", dest="export_nms",
                     action="store_false")
     ap.add_argument("--raw-heads", action="store_true",
@@ -53,22 +56,24 @@ def main(argv=None):
     suffix = {"stablehlo": ".stablehlo", "savedmodel": "_savedmodel",
               "onnx": ".onnx"}[args.format]
     out = args.output or f"{spec.name}_{args.img_size}{suffix}"
+    export_nms = (args.export_nms if args.export_nms is not None
+                  else args.format != "onnx")
     if args.format == "stablehlo":
         EM.export_stablehlo(
             model, variables, spec, out, img_size=args.img_size,
-            batch=args.batch_size, include_postprocess=args.export_nms,
+            batch=args.batch_size, include_postprocess=export_nms,
             raw_heads=args.raw_heads, conf_thres=args.conf_thres,
             iou_thres=args.iou_thres, max_det=args.max_det)
     elif args.format == "onnx":
         EM.export_onnx(
             model, variables, spec, out, img_size=args.img_size,
-            batch=args.batch_size, include_postprocess=args.export_nms,
-            conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-            max_det=args.max_det)
+            batch=args.batch_size, include_postprocess=export_nms,
+            raw_heads=args.raw_heads, conf_thres=args.conf_thres,
+            iou_thres=args.iou_thres, max_det=args.max_det)
     else:
         EM.export_savedmodel(
             model, variables, spec, out, img_size=args.img_size,
-            batch=args.batch_size, include_postprocess=args.export_nms,
+            batch=args.batch_size, include_postprocess=export_nms,
             conf_thres=args.conf_thres, iou_thres=args.iou_thres,
             max_det=args.max_det)
     print(f"exported -> {out}")

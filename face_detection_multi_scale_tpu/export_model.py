@@ -95,18 +95,55 @@ def load_stablehlo(path: str):
 def export_onnx(model, variables, spec, path: str, *,
                 img_size: int = 640, batch: int = 1,
                 include_postprocess: bool = False,
+                raw_heads: bool = False,
                 conf_thres: float = 0.25, iou_thres: float = 0.45,
                 max_det: int = 300, dtype=jnp.float32,
-                opset: int = 13) -> str:
-    """ONNX via the jax2tf -> tf2onnx bridge — the reference's actual
-    interchange format (models/export.py:85-132, opset 11 there; 13 is
-    tf2onnx's floor for the ops jax2tf emits).
+                opset: int = 13, engine: str = "auto") -> str:
+    """ONNX — the reference's actual interchange format
+    (models/export.py:85-132, opset 11 there; 13 here).
 
-    Requires the optional `tf2onnx` + `onnx` packages (absent from the
-    frozen TPU image, so this path is exercised only where they are
-    installed; see README "Export formats"). Postprocess-fused export is
-    possible but off by default — ONNX consumers usually attach their own
-    NMS, matching the reference default (--export-nms opt-in)."""
+    engine="native" (the default resolution of "auto" for
+    non-postprocess exports) serializes the model itself: the jaxpr of
+    the fused inference forward is mapped op-for-op to ONNX-13 and
+    written through protobuf bindings generated from the transcribed
+    public schema — zero optional dependencies (see onnx/export.py).
+    Output is decoded (bs, N, no) predictions, or per-stride raw maps
+    with raw_heads=True (the reference cpp/export.py contract).
+
+    engine="tf2onnx" uses the jax2tf -> tf2onnx bridge instead and can
+    additionally fuse the fixed-capacity postprocess; it requires the
+    optional `tf2onnx` + `onnx` packages (absent from the frozen TPU
+    image). Postprocess-fused export is off by default either way —
+    ONNX consumers usually attach their own NMS, matching the reference
+    default (--export-nms opt-in)."""
+    if engine == "auto":
+        engine = "tf2onnx" if include_postprocess else "native"
+    if engine == "native":
+        if include_postprocess:
+            raise ValueError(
+                "native ONNX export emits the model (decoded or raw "
+                "heads) without the NMS postprocess; use "
+                "engine='tf2onnx' (needs the optional packages) or the "
+                "stablehlo/savedmodel formats for a fused artifact")
+        from face_detection_multi_scale_tpu.onnx.export import (
+            export_onnx_native)
+
+        export_onnx_native(model, variables, spec, path,
+                           img_size=img_size, batch=batch,
+                           raw_heads=raw_heads)
+        meta = {
+            "model": spec.name, "img_size": img_size, "batch": batch,
+            "include_postprocess": False, "raw_heads": raw_heads,
+            "nkpt": spec.nkpt, "nc": spec.nc,
+            "strides": list(spec.strides), "opset": 13,
+            "engine": "native",
+            "input": "uint8 NHWC RGB, network-input frame",
+            "output": ("per-stride raw maps" if raw_heads
+                       else "decoded (bs, N, no)"),
+        }
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=2)
+        return path
     try:
         import tf2onnx  # noqa: F401  (optional dependency)
     except ImportError as e:

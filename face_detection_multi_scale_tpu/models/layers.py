@@ -27,6 +27,7 @@ import math
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -72,11 +73,15 @@ def upsample2x_nearest(x):
 def reorg(x):
     """Space-to-depth 2x2, channel order matching reference ReOrg
     (models/common.py:77-82): [even-even, odd-even, even-odd, odd-odd]
-    over (h, w)."""
-    return jnp.concatenate([
-        x[:, ::2, ::2, :], x[:, 1::2, ::2, :],
-        x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :],
-    ], axis=-1)
+    over (h, w).  Written as explicit lax.slice (not `x[:, ::2, ::2]`)
+    because jnp's multi-axis strided indexing lowers to a gather, which
+    XLA then has to simplify and the ONNX exporter would reject; the
+    strided slice is the operation actually meant."""
+    b, h, w, c = x.shape
+    sl = lambda oy, ox: jax.lax.slice(  # noqa: E731
+        x, (0, oy, ox, 0), (b, h, w, c), (1, 2, 2, 1))
+    return jnp.concatenate([sl(0, 0), sl(1, 0), sl(0, 1), sl(1, 1)],
+                           axis=-1)
 
 
 def channel_shuffle(x, groups: int = 2):

@@ -1,0 +1,93 @@
+"""Round-trip tests for the native ONNX export (onnx/export.py).
+
+The reference interchanges models as ONNX (reference
+models/export.py:85-132; raw-head variant cpp/export.py:62-70).  This
+image has no onnx/onnxruntime packages, so the round trip is proven
+with the repo's own independent numpy executor (onnx/runner.py): the
+serialized file is re-parsed from bytes and re-executed with numpy
+only, then compared against model.apply.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from face_detection_multi_scale_tpu.models import zoo
+from face_detection_multi_scale_tpu.models.fuse import fold_bn
+from face_detection_multi_scale_tpu.models.head import decode
+from face_detection_multi_scale_tpu.models.model import init_model
+from face_detection_multi_scale_tpu.onnx import onnx_pb2 as pb
+from face_detection_multi_scale_tpu.onnx import runner
+from face_detection_multi_scale_tpu.onnx.export import export_onnx_native
+
+
+def _roundtrip(name, tmp_path, *, raw_heads, img_size=64, batch=2):
+    spec = zoo.get_spec(name)
+    model, variables = init_model(spec, img_size=img_size)
+    path = str(tmp_path / f"{name}.onnx")
+    export_onnx_native(model, variables, spec, path,
+                       img_size=img_size, batch=batch, raw_heads=raw_heads)
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (batch, img_size, img_size, 3), np.uint8)
+    outs = runner.run_onnx(path, {"images": img})
+
+    fv = fold_bn(variables)
+    raws = model.apply(fv, img.astype(jnp.float32) / 255.0, train=False)
+    refs = list(raws) if raw_heads else [decode(raws, spec)]
+    assert len(outs) == len(refs)
+    for ref, got in zip(refs, outs):
+        ref = np.asarray(ref)
+        assert ref.shape == got.shape
+        # f32 conv reassociation noise on pixel-scale activations
+        np.testing.assert_allclose(ref, got, atol=5e-4, rtol=1e-4)
+    return path
+
+
+def test_tiny_decoded_roundtrip(tmp_path):
+    path = _roundtrip("yolov7-tiny-face", tmp_path, raw_heads=False)
+
+    # Structural checks on the artifact itself: parses from bytes,
+    # static shapes, opset 13, weights present as named initializers.
+    m = runner.load_model(path)
+    assert m.ir_version >= 7
+    assert m.opset_import[0].version == 13
+    g = m.graph
+    assert [vi.name for vi in g.input] == ["images"]
+    dims = [d.dim_value for d in g.input[0].type.tensor_type.shape.dim]
+    assert dims == [2, 64, 64, 3]
+    assert g.input[0].type.tensor_type.elem_type == pb.TensorProto.UINT8
+    ops = {n.op_type for n in g.node}
+    assert {"Conv", "MaxPool", "Sigmoid", "Concat"} <= ops
+    # every conv kernel is a named initializer in OIHW
+    init_names = [t.name for t in g.initializer]
+    assert any(n.startswith("p.") for n in init_names)
+    assert len(init_names) == len(set(init_names))
+
+
+def test_tiny_raw_heads_roundtrip(tmp_path):
+    _roundtrip("yolov7-tiny-face", tmp_path, raw_heads=True)
+
+
+def test_export_onnx_entrypoint_sidecar(tmp_path):
+    from face_detection_multi_scale_tpu import export_model as EM
+
+    spec = zoo.get_spec("yolov7-tiny-face")
+    model, variables = init_model(spec, img_size=64)
+    path = str(tmp_path / "m.onnx")
+    EM.export_onnx(model, variables, spec, path, img_size=64, batch=1)
+    import json
+    meta = json.load(open(path + ".json"))
+    assert meta["engine"] == "native"
+    assert meta["output"] == "decoded (bs, N, no)"
+    # fused-postprocess ONNX needs the tf2onnx engine
+    with pytest.raises(ValueError):
+        EM.export_onnx(model, variables, spec, path, img_size=64,
+                       include_postprocess=True, engine="native")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["yolov7-w6-face", "yolov7s-face"])
+def test_family_roundtrip(name, tmp_path):
+    _roundtrip(name, tmp_path, raw_heads=False)
