@@ -75,6 +75,43 @@ def main():
 
     cv2.imwrite(out, img0)
     print(f"saved {out}")
+
+    # Act 2 — the ONNX consumer (the reference's onnx_inference demo
+    # shape): native dependency-free ONNX artifact, executed with the
+    # repo's numpy runner standing in for onnxruntime, consumer-side
+    # numpy postprocess. External ONNX runtimes attach their own NMS,
+    # so the artifact carries decoded rows only.
+    from face_detection_multi_scale_tpu.export_model import export_onnx
+    from face_detection_multi_scale_tpu.onnx import runner
+
+    onnx_path = str(artifact.with_suffix(".onnx"))
+    export_onnx(model, variables, spec, onnx_path,
+                img_size=img_size, batch=1)
+    (pred,) = runner.run_onnx(onnx_path, {"images": x})
+    obj = pred[0, :, 4]
+    conf = obj * pred[0, :, 5]
+    cand = np.where((obj > 0.25) & (conf > 0.25))[0]
+    cand = cand[np.argsort(-conf[cand])]
+    cxy, wh = pred[0, cand, :2], pred[0, cand, 2:4]
+    bxyxy = np.concatenate([cxy - wh / 2, cxy + wh / 2], axis=1)
+    keep_idx = []
+    for i in range(len(cand)):  # consumer-side greedy NMS, numpy only
+        bi = bxyxy[i]
+        ok = True
+        for j in keep_idx:
+            bj = bxyxy[j]
+            iw = max(0.0, min(bi[2], bj[2]) - max(bi[0], bj[0]))
+            ih = max(0.0, min(bi[3], bj[3]) - max(bi[1], bj[1]))
+            inter = iw * ih
+            union = ((bi[2] - bi[0]) * (bi[3] - bi[1]) +
+                     (bj[2] - bj[0]) * (bj[3] - bj[1]) - inter)
+            if union > 0 and inter / union > 0.45:
+                ok = False
+                break
+        if ok:
+            keep_idx.append(i)
+    print(f"ONNX consumer path: {len(keep_idx)} detections "
+          f"(fused-artifact path found {len(rows)})")
     return 0
 
 
