@@ -19,9 +19,9 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--format", default="stablehlo",
                     choices=["stablehlo", "savedmodel", "onnx"],
-                    help="onnx serializes natively (no extra packages); "
-                         "add --export-nms to use the jax2tf->tf2onnx "
-                         "bridge (optional tf2onnx+onnx packages)")
+                    help="onnx serializes natively (no extra packages), "
+                         "including --export-nms (standard "
+                         "NonMaxSuppression ops, dynamic K)")
     ap.add_argument("--output", default=None)
     ap.add_argument("--export-nms", action="store_true", default=None,
                     help="fuse decode + NMS into the artifact (default "

@@ -102,48 +102,70 @@ def export_onnx(model, variables, spec, path: str, *,
     """ONNX — the reference's actual interchange format
     (models/export.py:85-132, opset 11 there; 13 here).
 
-    engine="native" (the default resolution of "auto" for
-    non-postprocess exports) serializes the model itself: the jaxpr of
-    the fused inference forward is mapped op-for-op to ONNX-13 and
-    written through protobuf bindings generated from the transcribed
-    public schema — zero optional dependencies (see onnx/export.py).
-    Output is decoded (bs, N, no) predictions, or per-stride raw maps
-    with raw_heads=True (the reference cpp/export.py contract).
+    engine="native" (the resolution of "auto") serializes with zero
+    optional dependencies: the jaxpr of the fused inference forward is
+    mapped op-for-op to ONNX-13 and written through protobuf bindings
+    generated from the transcribed public schema (see onnx/export.py).
+    Output is decoded (bs, N, no) predictions, per-stride raw maps with
+    raw_heads=True (the reference cpp/export.py contract), or — with
+    include_postprocess=True — the full --export-nms equivalent
+    (reference models/export.py:78-132, NMS_Export
+    models/common.py:543-568): decode + ONNX `NonMaxSuppression`
+    emitted as standard ops, outputs boxes/scores/classes/extras/
+    batch_index with a dynamic detection count.
 
-    engine="tf2onnx" uses the jax2tf -> tf2onnx bridge instead and can
-    additionally fuse the fixed-capacity postprocess; it requires the
-    optional `tf2onnx` + `onnx` packages (absent from the frozen TPU
-    image). Postprocess-fused export is off by default either way —
-    ONNX consumers usually attach their own NMS, matching the reference
+    engine="tf2onnx" uses the jax2tf -> tf2onnx bridge instead
+    (fixed-capacity postprocess variant); it requires the optional
+    `tf2onnx` + `onnx` packages (absent from the frozen TPU image).
+    Postprocess-fused export is off by default either way — ONNX
+    consumers usually attach their own NMS, matching the reference
     default (--export-nms opt-in)."""
     if engine == "auto":
-        engine = "tf2onnx" if include_postprocess else "native"
+        engine = "native"
     if engine == "native":
-        if include_postprocess:
+        if opset != 13:
             raise ValueError(
-                "native ONNX export emits the model (decoded or raw "
-                "heads) without the NMS postprocess; use "
-                "engine='tf2onnx' (needs the optional packages) or the "
-                "stablehlo/savedmodel formats for a fused artifact")
+                f"native ONNX export emits opset 13 only (got {opset}); "
+                "use engine='tf2onnx' for other opsets")
         from face_detection_multi_scale_tpu.onnx.export import (
-            export_onnx_native)
+            export_onnx_native, export_onnx_native_fused)
 
-        export_onnx_native(model, variables, spec, path,
-                           img_size=img_size, batch=batch,
-                           raw_heads=raw_heads)
+        if include_postprocess:
+            if raw_heads:
+                raise ValueError(
+                    "raw_heads and include_postprocess are mutually "
+                    "exclusive (raw maps have no boxes to suppress)")
+            export_onnx_native_fused(
+                model, variables, spec, path, img_size=img_size,
+                batch=batch, conf_thres=conf_thres,
+                iou_thres=iou_thres, max_det=max_det)
+        else:
+            export_onnx_native(model, variables, spec, path,
+                               img_size=img_size, batch=batch,
+                               raw_heads=raw_heads)
         meta = {
             "model": spec.name, "img_size": img_size, "batch": batch,
-            "include_postprocess": False, "raw_heads": raw_heads,
+            "include_postprocess": include_postprocess,
+            "raw_heads": raw_heads,
             "nkpt": spec.nkpt, "nc": spec.nc,
             "strides": list(spec.strides), "opset": 13,
             "engine": "native",
             "input": "uint8 NHWC RGB, network-input frame",
-            "output": ("per-stride raw maps" if raw_heads
+            "output": ("boxes,scores,classes,extras,batch_index "
+                       "(dynamic K)" if include_postprocess
+                       else "per-stride raw maps" if raw_heads
                        else "decoded (bs, N, no)"),
         }
+        if include_postprocess:
+            meta.update(conf_thres=conf_thres, iou_thres=iou_thres,
+                        max_det=max_det)
         with open(path + ".json", "w") as f:
             json.dump(meta, f, indent=2)
         return path
+    if raw_heads:
+        raise ValueError(
+            "raw_heads is only supported by the native engine "
+            "(the jax2tf bridge path exports the decoded graph)")
     try:
         import tf2onnx  # noqa: F401  (optional dependency)
     except ImportError as e:

@@ -108,8 +108,11 @@ class _Builder:
         return f"{hint}_{self._n}"
 
     def node(self, op: str, inputs: Sequence[str], n_out: int = 1,
-             name_hint: Optional[str] = None, **attrs) -> List[str]:
-        outs = [self.name(name_hint or op.lower()) for _ in range(n_out)]
+             name_hint: Optional[str] = None,
+             outputs: Optional[Sequence[str]] = None,
+             **attrs) -> List[str]:
+        outs = list(outputs) if outputs is not None else \
+            [self.name(name_hint or op.lower()) for _ in range(n_out)]
         n = pb.NodeProto()
         n.op_type = op
         n.name = self.name(f"node_{op}")
@@ -158,6 +161,8 @@ class _Converter:
     def __init__(self, builder: _Builder):
         self.b = builder
         self.env: Dict[Any, str] = {}  # jax Var -> onnx tensor name
+        # (weight initializer name, rhs_spec) -> OIHW-transposed copy
+        self._oihw_cache: Dict[Any, str] = {}
 
     # -- var plumbing -------------------------------------------------
     def read(self, v) -> str:
@@ -182,6 +187,7 @@ class _Converter:
         consts = list(getattr(closed, "consts", ()))
         sub = _Converter(self.b)
         sub.env = {}
+        sub._oihw_cache = self._oihw_cache
         for cv, cval in zip(inner.constvars, consts):
             sub.write(cv, self.b.tensor(np.asarray(cval)))
         n_in = len(inner.invars)
@@ -213,11 +219,19 @@ class _Converter:
 
     # -- shape / layout primitives -----------------------------------
     def op_reshape(self, eqn):
+        # lax.reshape's `dimensions` is a pre-reshape PERMUTATION; an
+        # ONNX Reshape alone would silently reorder data wrongly.
+        if eqn.params.get("dimensions") is not None:
+            raise NotImplementedError(
+                "lax.reshape with dimensions (fused transpose)")
         shape = self.b.i64(eqn.params["new_sizes"])
         out = self.b.node("Reshape", [self.read(eqn.invars[0]), shape])[0]
         self.write(eqn.outvars[0], out)
 
     def op_squeeze(self, eqn):
+        # lax.squeeze's `dimensions` only names the size-1 axes being
+        # dropped (no data movement), so reshaping to the output aval
+        # is exact for any value of it.
         out_shape = eqn.outvars[0].aval.shape
         shape = self.b.i64(out_shape)
         out = self.b.node("Reshape", [self.read(eqn.invars[0]), shape])[0]
@@ -352,17 +366,25 @@ class _Converter:
         x = self._to_nchw(self.read(eqn.invars[0]), lhs_spec)
 
         # Weights must be a known constant so we can re-lay them out.
+        # The OIHW copy is registered under a NEW name (the original
+        # initializer is left untouched so a shared weight is never
+        # transposed twice and non-conv consumers still read the
+        # original layout); unconsumed originals are pruned at the end.
         wname = self.read(eqn.invars[1])
         if wname not in self.b.initializers:
             raise NotImplementedError(
                 "conv weights must be initializers (pass params as "
                 "arguments to the traced function)")
-        wt = self.b.initializers.pop(wname)
-        w = np.frombuffer(wt.raw_data, dtype=np.dtype(
-            {v: k for k, v in _DTYPES.items()}[wt.data_type])).reshape(
-                tuple(wt.dims))
-        w_oihw = np.ascontiguousarray(np.transpose(w, rhs_spec))
-        w_onnx = self.b.tensor(w_oihw, name=wname)
+        cache_key = (wname, tuple(rhs_spec))
+        w_onnx = self._oihw_cache.get(cache_key)
+        if w_onnx is None:
+            wt = self.b.initializers[wname]
+            w = np.frombuffer(wt.raw_data, dtype=np.dtype(
+                {v: k for k, v in _DTYPES.items()}[wt.data_type])).reshape(
+                    tuple(wt.dims))
+            w_oihw = np.ascontiguousarray(np.transpose(w, rhs_spec))
+            w_onnx = self.b.tensor(w_oihw, name=f"{wname}.oihw")
+            self._oihw_cache[cache_key] = w_onnx
 
         pads = list(p["padding"])  # [(lo, hi)] per spatial dim
         out = self.b.node(
@@ -419,15 +441,13 @@ class _Converter:
         raise NotImplementedError(f"dot_general {p['dimension_numbers']}")
 
 
-def trace_to_onnx(fn, example_args, *, graph_name: str,
-                  arg_names: Optional[Sequence[str]] = None,
-                  doc: str = "") -> pb.ModelProto:
-    """Trace fn(*example_args) and convert the jaxpr to an ONNX model.
+def _trace_graph(fn, example_args):
+    """Trace fn(*example_args) into a fresh builder.
 
     Every leaf of every argument except the LAST becomes a graph
     initializer (named by its pytree path); the last argument is the
-    graph input.  Outputs are the flattened results, named out_0..N.
-    """
+    graph input.  Returns (builder, graph_inputs, traced_outputs) where
+    traced_outputs is a list of (tensor_name, aval)."""
     import jax
     from jax import tree_util
 
@@ -467,14 +487,26 @@ def trace_to_onnx(fn, example_args, *, graph_name: str,
             conv.write(var, vi.name)
 
     conv.convert(jaxpr, closed.consts)
+    outs = [(conv.read(ov), ov.aval) for ov in jaxpr.outvars]
+    return b, graph_inputs, outs
 
-    # ONNX graph outputs reference node outputs; give each a stable name
-    # via a final Identity so duplicated/aliased outvars stay legal.
+
+def _finalize_model(b: _Builder, graph_inputs, outputs, *,
+                    graph_name: str, doc: str = "") -> pb.ModelProto:
+    """Assemble the ModelProto.  `outputs` is a list of
+    (src_tensor_name, onnx_elem_type, dims) where a dim may be None for
+    a dynamic (data-dependent) dimension; each output is renamed to the
+    exact contract name out_{i} via an Identity."""
     out_infos = []
-    for oi, ov in enumerate(jaxpr.outvars):
-        src = conv.read(ov)
-        ident = b.node("Identity", [src], name_hint=f"out_{oi}")[0]
-        out_infos.append((ident, ov.aval))
+    for oi, (src, elem, dims) in enumerate(outputs):
+        ident = b.node("Identity", [src], outputs=[f"out_{oi}"])[0]
+        out_infos.append((ident, elem, dims))
+
+    # prune initializers no node consumes (e.g. HWIO conv-weight
+    # originals superseded by their OIHW copies)
+    used = {i for n in b.nodes for i in n.input}
+    for name in [k for k in b.initializers if k not in used]:
+        del b.initializers[name]
 
     m = pb.ModelProto()
     m.ir_version = IR_VERSION
@@ -488,14 +520,158 @@ def trace_to_onnx(fn, example_args, *, graph_name: str,
     g.node.extend(b.nodes)
     g.initializer.extend(b.initializers.values())
     g.input.extend(graph_inputs)
-    for name, aval in out_infos:
+    for name, elem, dims in out_infos:
         vi = g.output.add()
         vi.name = name
-        vi.type.tensor_type.elem_type = _np_dtype_to_onnx(aval.dtype)
-        for d in aval.shape:
+        vi.type.tensor_type.elem_type = elem
+        for d in dims:
             dim = vi.type.tensor_type.shape.dim.add()
-            dim.dim_value = int(d)
+            if d is None:
+                dim.dim_param = "n_detections"
+            else:
+                dim.dim_value = int(d)
     return m
+
+
+def trace_to_onnx(fn, example_args, *, graph_name: str,
+                  arg_names: Optional[Sequence[str]] = None,
+                  doc: str = "") -> pb.ModelProto:
+    """Trace fn(*example_args) and convert the jaxpr to an ONNX model.
+
+    Every leaf of every argument except the LAST becomes a graph
+    initializer (named by its pytree path); the last argument is the
+    graph input.  Outputs are the flattened results, named out_0..N.
+    """
+    b, graph_inputs, outs = _trace_graph(fn, example_args)
+    outputs = [(src, _np_dtype_to_onnx(aval.dtype), list(aval.shape))
+               for src, aval in outs]
+    return _finalize_model(b, graph_inputs, outputs,
+                           graph_name=graph_name, doc=doc)
+
+
+def _append_nms_postprocess(b: _Builder, pred: str, pred_shape, *,
+                            nc: int, conf_thres: float, iou_thres: float,
+                            max_det: int):
+    """Append the serving postprocess as standard ONNX ops
+    (NonMaxSuppression + Gather), the contract equivalent of the
+    reference's --export-nms graph (models/export.py:78-132 appending
+    NMS_Export, models/common.py:556-568 -> non_max_suppression_export,
+    utils/general.py:603-632).
+
+    Input: decoded predictions (bs, N, no) named `pred`.  Emitted
+    outputs (dynamic leading dim K = total selected, like the
+    reference's per-image dynamic NMS output):
+      boxes (K, 4) xyxy network-input pixels, scores (K,),
+      classes (K,) f32, extras (K, no-5-nc) landmark triplets,
+      batch_index (K,) int64.
+    Selection semantics match ops/nms.non_max_suppression for nc=1:
+    conf = obj * cls, gate conf > conf_thres (the reference's two-stage
+    obj/conf gate collapses to this since cls = sigmoid < 1), greedy
+    IoU > iou_thres suppression, at most max_det keeps per image.
+    """
+    bs, n, no = (int(d) for d in pred_shape)
+    if nc != 1:
+        raise NotImplementedError(
+            "fused ONNX postprocess is single-class (face); nc>1 needs "
+            "ArgMax/class-offset plumbing")
+    f32 = np.float32
+
+    def sl(lo, hi):
+        return b.node("Slice", [pred, b.i64([lo]), b.i64([hi]),
+                                b.i64([2]), b.i64([1])])[0]
+
+    cx, cy, w, h = sl(0, 1), sl(1, 2), sl(2, 3), sl(3, 4)
+    obj, cls = sl(4, 5), sl(5, 6)
+    conf = b.node("Mul", [obj, cls])[0]                    # (bs, N, 1)
+    half = b.tensor(np.asarray(0.5, f32))
+    w2 = b.node("Mul", [w, half])[0]
+    h2 = b.node("Mul", [h, half])[0]
+    x1 = b.node("Sub", [cx, w2])[0]
+    y1 = b.node("Sub", [cy, h2])[0]
+    x2 = b.node("Add", [cx, w2])[0]
+    y2 = b.node("Add", [cy, h2])[0]
+    boxes = b.node("Concat", [x1, y1, x2, y2], axis=2)[0]  # (bs, N, 4)
+
+    scores = b.node("Transpose", [conf], perm=[0, 2, 1])[0]  # (bs,1,N)
+    sel = b.node(
+        "NonMaxSuppression",
+        [boxes, scores,
+         b.tensor(np.asarray(max_det, np.int64)),
+         b.tensor(np.asarray(iou_thres, f32)),
+         b.tensor(np.asarray(conf_thres, f32))],
+        center_point_box=0)[0]                             # (K, 3)
+
+    ax1 = b.i64([1])
+    batch_i = b.node("Gather", [sel, b.i64([0])], axis=1)[0]
+    box_i = b.node("Gather", [sel, b.i64([2])], axis=1)[0]
+    batch_idx = b.node("Squeeze", [batch_i, ax1])[0]       # (K,)
+    box_idx = b.node("Squeeze", [box_i, ax1])[0]
+    n_const = b.tensor(np.asarray(n, np.int64))
+    flat = b.node("Add", [b.node("Mul", [batch_idx, n_const])[0],
+                          box_idx])[0]                     # (K,)
+
+    def take(src3d, width):
+        fl = b.node("Reshape",
+                    [src3d, b.i64([bs * n, width])])[0]
+        return b.node("Gather", [fl, flat], axis=0)[0]
+
+    out_boxes = take(boxes, 4)                             # (K, 4)
+    out_scores = b.node("Squeeze", [take(conf, 1), ax1])[0]  # (K,)
+    out_classes = b.node("Sub", [out_scores, out_scores])[0]  # zeros (K,)
+    rows = take(pred, no)                                  # (K, no)
+    extras = b.node("Slice", [rows, b.i64([5 + nc]), b.i64([no]),
+                              ax1, b.i64([1])])[0]
+
+    e_f = pb.TensorProto.FLOAT
+    return [
+        (out_boxes, e_f, [None, 4]),
+        (out_scores, e_f, [None]),
+        (out_classes, e_f, [None]),
+        (extras, e_f, [None, no - 5 - nc]),
+        (batch_idx, pb.TensorProto.INT64, [None]),
+    ]
+
+
+def export_onnx_native_fused(model, variables, spec, path: str, *,
+                             img_size: int = 640, batch: int = 1,
+                             conf_thres: float = 0.25,
+                             iou_thres: float = 0.45,
+                             max_det: int = 300,
+                             fold_batchnorm: bool = True) -> str:
+    """Native --export-nms equivalent: model + decode + NMS postprocess
+    in one ONNX-13 graph with zero optional packages.  Output contract
+    (all dynamic K = total selections across the batch):
+    out_0 boxes (K,4) xyxy, out_1 scores (K,), out_2 classes (K,),
+    out_3 extras (K, 3*nkpt), out_4 batch_index (K,) int64."""
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.models.fuse import fold_bn
+    from face_detection_multi_scale_tpu.models.head import decode
+
+    use_vars = fold_bn(variables) if fold_batchnorm else variables
+
+    def fn(params, images_u8):
+        x = images_u8.astype(jnp.float32) / 255.0
+        raws = model.apply(params, x, train=False)
+        return decode(raws, spec)
+
+    x_spec = jnp.zeros((batch, img_size, img_size, 3), jnp.uint8)
+    b, graph_inputs, outs = _trace_graph(fn, (use_vars, x_spec))
+    (pred_name, pred_aval), = outs
+    outputs = _append_nms_postprocess(
+        b, pred_name, pred_aval.shape, nc=spec.nc,
+        conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det)
+    m = _finalize_model(
+        b, graph_inputs, outputs,
+        graph_name=f"{spec.name}-{img_size}-nms",
+        doc=(f"{spec.name} {img_size}px decoded + fused NMS "
+             f"(conf {conf_thres}, iou {iou_thres}, max_det {max_det}); "
+             "input uint8 NHWC RGB network-input frame; outputs "
+             "boxes/scores/classes/extras/batch_index with dynamic K; "
+             "exported natively (no onnx/tf2onnx) via jaxpr->ONNX"))
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    return path
 
 
 def export_onnx_native(model, variables, spec, path: str, *,

@@ -105,6 +105,46 @@ def _maxpool2d(x, kernel, strides, pads):
     return out
 
 
+def _nms_onnx(boxes, scores, max_out, iou_thr, score_thr,
+              center_point_box=0):
+    """ONNX-13 NonMaxSuppression: boxes (bs, N, 4), scores (bs, C, N)
+    -> selected (K, 3) rows [batch, class, box], batch-major,
+    class-major, score-descending within each (batch, class).  IoU is
+    symmetric in the two coordinate axes, so corner boxes work for
+    either [y1,x1,y2,x2] or [x1,y1,x2,y2] labeling."""
+    sel = []
+    for bi in range(boxes.shape[0]):
+        bxs = boxes[bi].astype(np.float64)
+        if center_point_box:
+            cx, cy, w, h = (bxs[:, i] for i in range(4))
+            x1, y1 = cx - w / 2, cy - h / 2
+            x2, y2 = cx + w / 2, cy + h / 2
+        else:
+            x1, y1, x2, y2 = (bxs[:, i] for i in range(4))
+        areas = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        for ci in range(scores.shape[1]):
+            s = scores[bi, ci]
+            cand = np.nonzero(s > score_thr)[0]
+            order = cand[np.argsort(-s[cand], kind="stable")]
+            kept: List[int] = []
+            for i in order:
+                ok = True
+                for j in kept:
+                    iw = max(0.0, min(x2[i], x2[j]) - max(x1[i], x1[j]))
+                    ih = max(0.0, min(y2[i], y2[j]) - max(y1[i], y1[j]))
+                    inter = iw * ih
+                    union = areas[i] + areas[j] - inter
+                    if union > 0 and inter / union > iou_thr:
+                        ok = False
+                        break
+                if ok:
+                    kept.append(int(i))
+                    if len(kept) >= max_out:
+                        break
+            sel.extend([bi, ci, i] for i in kept)
+    return np.asarray(sel, np.int64).reshape(-1, 3)
+
+
 def _slice(data, starts, ends, axes, steps):
     idx: List[slice] = [slice(None)] * data.ndim
     for st, en, ax, sp in zip(starts, ends, axes, steps):
@@ -225,6 +265,21 @@ def run_model(model: pb.ModelProto, feeds: Dict[str, np.ndarray]):
                          keepdims=bool(a.get("keepdims", 1)))
         elif op == "MatMul":
             y = x[0] @ x[1]
+        elif op == "Gather":
+            y = np.take(x[0], x[1].astype(np.int64),
+                        axis=a.get("axis", 0))
+        elif op == "Squeeze":
+            axes = tuple(int(v) for v in x[1]) if len(x) > 1 else None
+            y = np.squeeze(x[0], axis=axes)
+        elif op == "Unsqueeze":
+            y = np.expand_dims(x[0], tuple(int(v) for v in x[1]))
+        elif op == "NonMaxSuppression":
+            y = _nms_onnx(
+                x[0].astype(np.float32), x[1].astype(np.float32),
+                int(x[2]) if len(x) > 2 else 2 ** 31,
+                float(x[3]) if len(x) > 3 else 0.0,
+                float(x[4]) if len(x) > 4 else -np.inf,
+                a.get("center_point_box", 0))
         else:
             raise NotImplementedError(f"runner: op {op}")
         env[node.output[0]] = np.asarray(y)

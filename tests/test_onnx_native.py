@@ -11,6 +11,7 @@ only, then compared against model.apply.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from face_detection_multi_scale_tpu.models import zoo
@@ -81,10 +82,74 @@ def test_export_onnx_entrypoint_sidecar(tmp_path):
     meta = json.load(open(path + ".json"))
     assert meta["engine"] == "native"
     assert meta["output"] == "decoded (bs, N, no)"
-    # fused-postprocess ONNX needs the tf2onnx engine
+    # the native path emits opset 13 only; raw heads can't be fused
     with pytest.raises(ValueError):
         EM.export_onnx(model, variables, spec, path, img_size=64,
-                       include_postprocess=True, engine="native")
+                       opset=11, engine="native")
+    with pytest.raises(ValueError):
+        EM.export_onnx(model, variables, spec, path, img_size=64,
+                       include_postprocess=True, raw_heads=True)
+    # the tf2onnx bridge exports decoded graphs only — never silently
+    # drop a requested raw-heads contract
+    with pytest.raises(ValueError):
+        EM.export_onnx(model, variables, spec, path, img_size=64,
+                       raw_heads=True, engine="tf2onnx")
+
+
+def test_fused_nms_roundtrip(tmp_path):
+    """--export-nms equivalent: decode + ONNX NonMaxSuppression fused
+    into one native artifact (reference models/export.py:78-132,
+    NMS_Export models/common.py:543-568), round-tripped through the
+    numpy executor and matched row-for-row against the live engine
+    (ops/nms.non_max_suppression)."""
+    from face_detection_multi_scale_tpu.onnx.export import (
+        export_onnx_native_fused)
+    from face_detection_multi_scale_tpu.ops import nms as NMS
+
+    conf_thres, iou_thres, max_det = 0.05, 0.5, 20
+    batch, img_size = 2, 64
+    spec = zoo.get_spec("yolov7-tiny-face")
+    model, variables = init_model(spec, img_size=img_size)
+    # an untrained net scores every cell ~sigmoid(0)^2 = 0.25 — a wall
+    # of ties the two greedy-NMS implementations break differently.
+    # Small weight noise separates the scores without saturating them.
+    prng = np.random.RandomState(3)
+    leaves, treedef = jax.tree.flatten(variables)
+    variables = jax.tree.unflatten(
+        treedef, [l + 0.05 * prng.normal(size=l.shape).astype(np.float32)
+                  for l in leaves])
+    path = str(tmp_path / "fused.onnx")
+    export_onnx_native_fused(model, variables, spec, path,
+                             img_size=img_size, batch=batch,
+                             conf_thres=conf_thres, iou_thres=iou_thres,
+                             max_det=max_det)
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (batch, img_size, img_size, 3), np.uint8)
+    boxes, scores, classes, extras, batch_idx = runner.run_onnx(
+        path, {"images": img})
+
+    raws = model.apply(fold_bn(variables),
+                       img.astype(jnp.float32) / 255.0, train=False)
+    d = NMS.non_max_suppression(decode(raws, spec), conf_thres, iou_thres,
+                                nc=spec.nc, nkpt=spec.nkpt,
+                                max_candidates=256, max_det=max_det)
+    total = int(np.asarray(d.valid).sum())
+    assert total > 0  # untrained random weights still clear conf 0.05
+    assert boxes.shape == (total, 4) and extras.shape == (total, 15)
+    assert classes.shape == scores.shape == batch_idx.shape == (total,)
+    np.testing.assert_array_equal(classes, 0.0)
+    for bi in range(batch):
+        sel = batch_idx == bi
+        v = np.asarray(d.valid[bi])
+        assert int(sel.sum()) == int(v.sum())
+        # both sides emit keepers in descending-score order
+        np.testing.assert_allclose(scores[sel], np.asarray(d.scores[bi])[v],
+                                   atol=5e-4, rtol=1e-4)
+        np.testing.assert_allclose(boxes[sel], np.asarray(d.boxes[bi])[v],
+                                   atol=5e-3)
+        np.testing.assert_allclose(extras[sel], np.asarray(d.extras[bi])[v],
+                                   atol=5e-3)
 
 
 @pytest.mark.slow
