@@ -39,13 +39,19 @@ def measure(fn, fetch, batches, iters):
 def run_point(model_name: str, img_size: int, batch: int, iters: int,
               pool: int, dtype_name: str, conf_thres: float,
               max_candidates: int, with_h2d: bool = True,
-              micro_batch: int | None = None) -> dict:
+              micro_batch: int | None = None,
+              quantize: bool = False) -> dict:
     """Measure one (model, size, batch, dtype, conf) operating point.
 
     micro_batch: run the engine as lax.map over chunks of this size
     inside the one jit — peak activation memory scales with the chunk,
     the lever for HBM-capacity-capped points (w6@1280 regresses past
-    b8; see FaceDetector(micro_batch=...) for the serving-side knob)."""
+    b8; see FaceDetector(micro_batch=...) for the serving-side knob).
+
+    quantize: W8A8 int8 serving forward (models/quant.py) — the
+    byte-reduction mode for the HBM-bound forward; scales come from the
+    structure-only calibration (perf-identical graph, arbitrary
+    numerics; FaceDetector(quantize='int8') calibrates on real data)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +63,16 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     spec = zoo.get_spec(model_name)
     model, variables = init_model(spec, img_size=64, dtype=dtype)
+    if quantize:
+        from face_detection_multi_scale_tpu.models import quant
+        variables = quant.quantize(
+            spec, variables, quant.calibrate_shape_only(spec, variables))
+
+        def forward(v, xc):
+            return quant.quant_apply(spec, v, xc, dtype=dtype)
+    else:
+        def forward(v, xc):
+            return model.apply(v, xc.astype(dtype) / 255.0, train=False)
 
     # variables ride as a jit ARGUMENT, not a closure: closed-over arrays
     # are inlined into the HLO as constants, and on this environment the
@@ -67,8 +83,7 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
     @jax.jit
     def engine_v(variables, x):
         def chunk_sum(xc):
-            raws = model.apply(variables, xc.astype(dtype) / 255.0,
-                               train=False)
+            raws = forward(variables, xc)
             dets = NMS.non_max_suppression(
                 decode(raws, spec), conf_thres, 0.5, nc=spec.nc,
                 nkpt=spec.nkpt, max_candidates=max_candidates,
@@ -103,7 +118,8 @@ def run_point(model_name: str, img_size: int, batch: int, iters: int,
     dt = measure(engine, float, resident, iters)
     point = {
         "model": model_name, "img_size": img_size, "batch": batch,
-        "dtype": dtype_name, "conf_thres": conf_thres,
+        "dtype": "int8-w8a8" if quantize else dtype_name,
+        "conf_thres": conf_thres,
         "max_candidates": max_candidates,
         "images_per_sec": round(batch * iters / dt, 2),
     }
@@ -280,6 +296,10 @@ def main():
                     help="engine runs as lax.map over chunks of this "
                          "size inside one jit (HBM-capacity lever for "
                          "large-image points, e.g. 1280px b16 mb8)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="W8A8 int8 serving forward (models/quant.py) — "
+                         "the byte-reduction mode for the HBM-bound "
+                         "forward")
     ap.add_argument("--sweep", action="store_true",
                     help="measure the full operating-point table "
                          "(serving + AP-parity flagship) and write "
@@ -309,7 +329,8 @@ def main():
 
     point = run_point(args.model, args.img_size, args.batch, args.iters,
                       args.pool, args.dtype, args.conf_thres,
-                      args.max_candidates, micro_batch=args.micro_batch)
+                      args.max_candidates, micro_batch=args.micro_batch,
+                      quantize=args.quantize)
     extra = ""
     if not args.smoke and args.model == "yolov7-w6-face" \
             and args.conf_thres >= 0.1:
@@ -318,7 +339,8 @@ def main():
         # actually earned at
         ep = run_point(args.model, args.img_size, args.batch,
                        max(args.iters // 2, 4), args.pool, args.dtype,
-                       0.01, 4096, with_h2d=False)
+                       0.01, 4096, with_h2d=False,
+                       quantize=args.quantize)
         extra = (f"; eval point conf 0.01/k4096: "
                  f"{ep['images_per_sec']:.0f} img/s")
     tag = " (flagship)" if args.model == "yolov7-w6-face" else ""

@@ -53,6 +53,9 @@ def main(argv=None):
                     help="lax.map the engine over chunks of this size "
                          "inside one jit (HBM-capacity lever for large "
                          "images: w6@1280 wants 8, PERF.md §3d)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="W8A8 int8 serving (models/quant.py), "
+                         "calibrated on the first served batch")
     ap.add_argument("--tile-top-scale", type=int, default=0,
                     help="run pyramid scales >= 2048 px as a g x g "
                          "batch of halo'd tiles (g=this value; 0=off). "
@@ -83,6 +86,7 @@ def main(argv=None):
         iou_thres=args.iou_thres, use_api_preprocess=True,
         fuse_elan=args.fuse_elan, tile_top_scale=args.tile_top_scale,
         micro_batch=args.micro_batch,
+        quantize="int8" if args.quantize else None,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     pipeline = ProductionPipeline(
         detector, args.output_dir, args.max_faces_dir,

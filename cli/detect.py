@@ -88,6 +88,11 @@ def main(argv=None):
                     help="lax.map the engine over chunks of this size "
                          "inside one jit (HBM-capacity lever for large "
                          "images: w6@1280 wants 8, PERF.md §3d)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="W8A8 int8 serving (models/quant.py): int8 "
+                         "weights + activations, calibrated on the "
+                         "first served batch — the byte-reduction mode "
+                         "for the HBM-bound forward (PERF.md §3e)")
     ap.add_argument("--tile-top-scale", type=int, default=0,
                     help="run giant scales (>= 2048 px) as a g x g batch "
                          "of halo'd tiles (g=this value; 0=off) — "
@@ -122,6 +127,7 @@ def main(argv=None):
                        fuse_elan=args.fuse_elan,
                        micro_batch=args.micro_batch,
                        tile_top_scale=args.tile_top_scale,
+                       quantize="int8" if args.quantize else None,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
 

@@ -91,6 +91,10 @@ def main(argv=None):
     # request, and the engine falls back to whole-batch at batch <=
     # micro_batch — the flag would be inert; it lives on the CLIs that
     # actually batch, cli/detect.py and cli/batch_predict.py)
+    ap.add_argument("--quantize", action="store_true",
+                    help="W8A8 int8 serving (models/quant.py); "
+                         "calibrates on the first request, so the "
+                         "compile happens then instead of at warmup")
     args = ap.parse_args(argv)
 
     from face_detection_multi_scale_tpu.infer.detector import FaceDetector
@@ -100,8 +104,14 @@ def main(argv=None):
     DETECTOR = FaceDetector(args.model, torch_weights=args.weights,
                             img_sizes=(args.img_size,),
                             conf_thres=args.conf_thres,
-                            iou_thres=args.iou_thres)
-    DETECTOR.warmup(args.img_size)
+                            iou_thres=args.iou_thres,
+                            quantize="int8" if args.quantize else None)
+    if args.quantize:
+        # warmup's zero dummy must not become the calibration batch —
+        # the first real request calibrates + compiles instead
+        print("[serve] int8: first request calibrates and compiles")
+    else:
+        DETECTOR.warmup(args.img_size)
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"serving on http://{args.host}:{args.port}"
           f"/v1/object-detection/{args.model}")

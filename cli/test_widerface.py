@@ -51,6 +51,10 @@ def main(argv=None):
                          "bucketed by ORIGINAL shape); differs from the "
                          "cv2 letterbox by <=2/255 per pixel — the AP "
                          "delta is recorded in AP_PARITY.md")
+    ap.add_argument("--quantize", action="store_true",
+                    help="W8A8 int8 serving (models/quant.py), "
+                         "calibrated on the first batch — use with the "
+                         "eval protocol to measure the int8 AP delta")
     args = ap.parse_args(argv)
 
     import cv2
@@ -67,6 +71,7 @@ def main(argv=None):
                        conf_thres=args.conf_thres, iou_thres=args.iou_thres,
                        max_det=args.max_det,
                        max_candidates=args.max_candidates,
+                       quantize="int8" if args.quantize else None,
                        dtype=jnp.bfloat16 if args.dtype == "bfloat16"
                        else jnp.float32)
 

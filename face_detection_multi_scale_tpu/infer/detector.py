@@ -57,7 +57,8 @@ class FaceDetector:
                  use_device_preprocess: bool = False,
                  fuse_elan=False, micro_batch: Optional[int] = None,
                  tile_top_scale=False, tile_halo: int = 256,
-                 tile_min_size: int = 2048):
+                 tile_min_size: int = 2048,
+                 quantize: Optional[str] = None, calib_images=None):
         if isinstance(model, str):
             spec = zoo.get_spec(model)  # pinned, verified strides
         else:
@@ -140,6 +141,31 @@ class FaceDetector:
         # "pre:" to absorb each group's feeding downsample conv) via
         # models/fused.apply_variant — the same grammar the on-chip A/B
         # (tools/bench_elan.py) ranks.
+        # W8A8 quantized serving (models/quant.py): int8 weights + int8
+        # inter-node activations, int32 MXU accumulate, requant folded
+        # into each conv epilogue. The byte-reduction lever for the
+        # HBM-bound forward — measured on-chip bytes 38.6 -> 23.4 GB and
+        # 99 -> 73 ms/batch for w6@640 b128 (tools/QUANT_AB.json,
+        # PERF.md §3e). Calibration: pass `calib_images` (uint8 NHWC
+        # network-input frames) or call calibrate_int8(); otherwise the
+        # first served batch calibrates lazily (post-training, activation
+        # amax over that batch).
+        if quantize not in (None, "int8"):
+            raise ValueError(f"quantize must be None or 'int8', "
+                             f"got {quantize!r}")
+        if quantize and fuse_elan:
+            raise ValueError("quantize and fuse_elan are mutually "
+                             "exclusive serving modes")
+        self._quantize = quantize
+        self._qparams = None
+        if quantize:
+            from face_detection_multi_scale_tpu.models import quant
+            # validate the op set NOW (raises NotImplementedError for
+            # unsupported families, e.g. lite's Shuffle_Block) via the
+            # compute-free structural trace
+            quant.calibrate_shape_only(self.spec, self.variables)
+            if calib_images is not None:
+                self.calibrate_int8(calib_images)
         self.fuse_elan = bool(fuse_elan)
         self._elan_blocks = None
         if fuse_elan:
@@ -206,11 +232,48 @@ class FaceDetector:
     # compiled executables
     # ------------------------------------------------------------------
 
+    def calibrate_int8(self, images_u8) -> None:
+        """Post-training calibration for quantize='int8': run a float
+        forward over `images_u8` (uint8 NHWC network-input frames, or
+        float in [0, 1]) recording per-tensor activation ranges, then
+        build the int8 qparams tree the serving executables consume.
+        At most 8 frames are used — amax saturates fast and the float
+        calibration forward is a one-off compile."""
+        from face_detection_multi_scale_tpu.models import quant
+        x = jnp.asarray(images_u8[:8])
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        self._qparams = quant.quantize_model(self.spec, self.variables, x)
+
+    def _serving_variables(self):
+        """The params tree the executables take as their jit argument:
+        the int8 qparams when quantized, else the float variables."""
+        return self._qparams if self._quantize else self.variables
+
+    def _ensure_calibrated(self, images_u8) -> None:
+        if self._quantize and self._qparams is None:
+            self.calibrate_int8(images_u8)
+
+    def _require_calibrated_for_dev(self) -> None:
+        """Device-preprocess executables fuse letterboxing on device, so
+        there is no host-side network-input frame to lazily calibrate
+        on; quantized serving there needs explicit calibration."""
+        if self._quantize and self._qparams is None:
+            raise RuntimeError(
+                "quantize='int8' with use_device_preprocess needs "
+                "explicit calibration: pass calib_images= or call "
+                "calibrate_int8(frames) before serving")
+
     def _forward(self, variables, x):
         """Network forward used by every executable: the flax module
-        graph, or the fused-ELAN serving executor (models/fused.py —
-        E-ELAN groups as single VMEM-resident Pallas kernels) when
-        `fuse_elan` is set."""
+        graph; the W8A8 executor (models/quant.py) when `quantize` is
+        set (x in [0,1] re-quantizes to int8 on device — `variables` is
+        then the qparams tree); or the fused-ELAN serving executor
+        (models/fused.py) when `fuse_elan` is set."""
+        if self._quantize:
+            from face_detection_multi_scale_tpu.models import quant
+            return quant.quant_apply(self.spec, variables, x,
+                                     dtype=self.dtype)
         if self.fuse_elan and self._elan_blocks:
             from face_detection_multi_scale_tpu.models.fused import (
                 fused_apply)
@@ -318,8 +381,10 @@ class FaceDetector:
         truncation telemetry to the caller (the tiled paths record one
         entry per image, not per tile)."""
         bs, h, w, _ = images_u8.shape
+        self._ensure_calibrated(images_u8)
         if self.mesh is None:
-            dets = self._executable(h, w)(self.variables, images_u8)
+            dets = self._executable(h, w)(self._serving_variables(),
+                                          images_u8)
             if _record:
                 self._record_truncation(dets)
             return dets
@@ -334,7 +399,8 @@ class FaceDetector:
                 [images_u8, np.zeros((pad, h, w, 3), images_u8.dtype)])
         with self.mesh:
             sharded = jax.device_put(images_u8, batch_sharding(self.mesh))
-            dets = self._executable(h, w)(self.variables, sharded)
+            dets = self._executable(h, w)(self._serving_variables(),
+                                          sharded)
         if pad:
             dets = NMS.Detections(*(jax.device_get(x)[:bs] for x in dets))
         if _record:
@@ -453,7 +519,8 @@ class FaceDetector:
                    else jnp.asarray(img0[None]))
             run, geom = self._executable_dev(img0_shape[:2], img_size,
                                              auto=True)
-            dets = run(self.variables, raw)
+            self._require_calibrated_for_dev()
+            dets = run(self._serving_variables(), raw)
             self._record_truncation(dets)
             inp_hw = geom.out_hw
             rows = NMS.detections_to_numpy(dets)[0]
@@ -575,7 +642,9 @@ class FaceDetector:
             # fuse preprocess into the network executable
             run, geom = self._executable_dev(shapes[0][:2], img_size,
                                              auto=False)
-            dets = run(self.variables, jnp.asarray(np.stack(loaded)))
+            self._require_calibrated_for_dev()
+            dets = run(self._serving_variables(),
+                       jnp.asarray(np.stack(loaded)))
             self._record_truncation(dets)
             rows_list = NMS.detections_to_numpy(dets)
         else:
@@ -797,6 +866,13 @@ class FaceDetector:
     def warmup(self, img_size: Optional[int] = None, batch: int = 1):
         """Compile the executable for a size ahead of time (reference
         warmup forward, detect.py:64-65)."""
+        if self._quantize and self._qparams is None:
+            # a zero dummy would lazily calibrate to garbage amax and
+            # lock it in — quantized warmup needs real calibration first
+            raise RuntimeError(
+                "calibrate_int8(frames) (or calib_images=) before "
+                "warmup() on a quantize='int8' detector — warming up on "
+                "the zero dummy would calibrate to degenerate scales")
         size = check_img_size(img_size or self.img_sizes[0], self.stride)
         dummy = np.zeros((batch, size, size, 3), np.uint8)
         jax.block_until_ready(self.run_network(dummy).boxes)
