@@ -59,9 +59,19 @@ def run_val(args, img_size):
                      stride=spec.max_stride, rect=args.rect,
                      batch_size=args.batch_size,
                      pad=0.5 if args.rect else 0.0)
+    save_dir = None
+    if args.save_txt or args.save_json:
+        from face_detection_multi_scale_tpu.utils.general import (
+            increment_path)
+        save_dir = increment_path(Path(args.project) / args.name,
+                                  args.exist_ok)
     return validate(model, variables, ds, batch_size=args.batch_size,
                     conf_thres=args.conf_thres, iou_thres=args.iou_thres,
-                    augment=args.augment, flip_test=args.flip_test)
+                    augment=args.augment, flip_test=args.flip_test,
+                    save_dir=save_dir, save_txt=args.save_txt,
+                    save_conf=args.save_conf, save_json=args.save_json,
+                    weights_name=args.weights or args.model,
+                    anno_json=args.anno_json)
 
 
 def run_speed(args, img_size):
@@ -125,6 +135,22 @@ def main(argv=None):
                     help="scale/flip TTA (models/yolo.py:363-374)")
     ap.add_argument("--flip-test", action="store_true",
                     help="lr-flip fusion (test.py:145-151)")
+    ap.add_argument("--save-txt", action="store_true",
+                    help="per-image normalized-xywh label txts under "
+                         "<save_dir>/labels/ (test.py:197-204)")
+    ap.add_argument("--save-conf", action="store_true",
+                    help="append confidence to --save-txt lines")
+    ap.add_argument("--save-json", action="store_true",
+                    help="COCO-format predictions json incl. keypoints "
+                         "(test.py:225-239, 324-330; unlike the "
+                         "reference, bbox is actually written)")
+    ap.add_argument("--anno-json", default=None,
+                    help="COCO annotations json — when it exists and "
+                         "pycocotools is importable, runs the COCO eval "
+                         "on the saved predictions (test.py:331-345)")
+    ap.add_argument("--project", default="runs/test")
+    ap.add_argument("--name", default="exp")
+    ap.add_argument("--exist-ok", action="store_true")
     args = ap.parse_args(argv)
 
     if args.task in ("val", "test"):
