@@ -118,6 +118,8 @@ class FaceDetector:
         # sequential b8 chunks keep b8's working set at b16's
         # dispatch/pipeline efficiency). None = whole-batch (default).
         self.micro_batch = micro_batch
+        self._warned_mb_mesh = False
+        self._warned_mb_divide = False
         # tiled giant scales: run any pyramid scale >= tile_min_size as
         # a g x g batch of halo'd tiles instead of one batch-1
         # giant-spatial forward (b1@3840 measures ~5% MFU, PERF.md §3b;
@@ -292,6 +294,28 @@ class FaceDetector:
         # it would fold shards into the map dim — per-chip chunking there
         # is a different (unimplemented) layout, so mesh wins
         if not mb or self.mesh is not None or batch <= mb or batch % mb:
+            # a user-set knob silently degrading is a deployment trap
+            # (the tiled path warns the same way, see _warned_tile_*) —
+            # say it once per cause; batch <= mb is whole-batch by
+            # definition, not a degradation
+            if mb and self.mesh is not None \
+                    and not self._warned_mb_mesh:
+                self._warned_mb_mesh = True
+                import warnings
+                warnings.warn(
+                    f"micro_batch={mb} is inert under a mesh (the batch "
+                    "dim carries the data sharding; per-chip chunking "
+                    "is not implemented) — running whole-batch",
+                    RuntimeWarning, stacklevel=2)
+            elif mb and self.mesh is None and batch > mb \
+                    and batch % mb and not self._warned_mb_divide:
+                self._warned_mb_divide = True
+                import warnings
+                warnings.warn(
+                    f"micro_batch={mb} does not divide batch {batch} — "
+                    "running whole-batch (pad or resize the batch to a "
+                    "multiple to get micro-batching)",
+                    RuntimeWarning, stacklevel=2)
             return engine(variables, images_u8)
         chunks = images_u8.reshape((batch // mb, mb)
                                    + images_u8.shape[1:])

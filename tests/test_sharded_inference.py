@@ -42,12 +42,41 @@ def test_micro_batched_matches_whole_batch():
                          img_sizes=(64,), conf_thres=0.05, max_det=50,
                          micro_batch=4)
 
+    import pytest
+
     rng = np.random.default_rng(1)
     for bs in (12, 9):  # 12: three chunks; 9: fallback (9 % 4 != 0)
         batch = rng.integers(0, 255, (bs, 64, 64, 3), np.uint8)
         want = detections_to_numpy(plain.run_network(batch))
-        got = detections_to_numpy(micro.run_network(batch))
+        if bs % 4:
+            # the silent-degradation warning: user asked for chunking,
+            # the batch can't chunk — say so (once)
+            with pytest.warns(RuntimeWarning, match="does not divide"):
+                got = detections_to_numpy(micro.run_network(batch))
+        else:
+            got = detections_to_numpy(micro.run_network(batch))
         assert len(got) == len(want) == bs
         for g, w in zip(got, want):
             assert g.shape == w.shape
             np.testing.assert_allclose(g, w, atol=1e-4)
+
+
+def test_micro_batch_warns_inert_under_mesh():
+    """micro_batch under a mesh degrades to whole-batch; the detector
+    must warn once instead of silently dropping the knob (round-4
+    verdict weak #4)."""
+    import jax
+    import pytest
+
+    mesh = make_data_mesh(jax.devices()[:8])
+    det = FaceDetector("yolov7-lite-t", img_sizes=(64,), conf_thres=0.05,
+                       max_det=20, mesh=mesh, micro_batch=4)
+    batch = np.random.default_rng(2).integers(
+        0, 255, (8, 64, 64, 3), np.uint8)
+    with pytest.warns(RuntimeWarning, match="inert under a mesh"):
+        det.run_network(batch)
+    # once only
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("error")
+        det.run_network(batch)
