@@ -227,6 +227,16 @@ def run_sweep(smoke: bool, out_path=None) -> list:
             # 1280 eval point (3-repeat pinned 171±2, 2026-08-18)
             ("yolov7-w6-face", 1280, 32, 8, 2, "bfloat16", 0.01, 4096,
              True, 8),
+            # W8A8 int8 serving rows (models/quant.py; bytes 38.6 ->
+            # 23.4 GB) — same-day A/B 2026-08-19 (tools/CHIP_R5A.json):
+            # w6 serving 1032 -> 1332 (+29%), tiny 2265 -> 2667 (+18%),
+            # w6 eval 848 -> 879 (the eval point is postprocess-bound)
+            ("yolov7-w6-face", 640, 128, 10, 3, "bfloat16", 0.25, 1024,
+             False, None, True),
+            ("yolov7-w6-face", 640, 128, 8, 3, "bfloat16", 0.01, 4096,
+             False, None, True),
+            ("yolov7-tiny-face", 640, 128, 15, 4, "bfloat16", 0.25, 1024,
+             False, None, True),
         ]
     rows = []
     # train rows come from tools/train_bench.py --record — a sweep
@@ -332,31 +342,44 @@ def main():
                       args.max_candidates, micro_batch=args.micro_batch,
                       quantize=args.quantize)
     extra = ""
+    eval_point = None
     if not args.smoke and args.model == "yolov7-w6-face" \
             and args.conf_thres >= 0.1:
         # also measure the WIDER-eval operating point (conf 0.01, deep
         # candidate buffer) in the same run — the number AP parity is
         # actually earned at
-        ep = run_point(args.model, args.img_size, args.batch,
-                       max(args.iters // 2, 4), args.pool, args.dtype,
-                       0.01, 4096, with_h2d=False,
-                       quantize=args.quantize)
+        eval_point = run_point(args.model, args.img_size, args.batch,
+                               max(args.iters // 2, 4), args.pool,
+                               args.dtype, 0.01, 4096, with_h2d=False,
+                               quantize=args.quantize)
         extra = (f"; eval point conf 0.01/k4096: "
-                 f"{ep['images_per_sec']:.0f} img/s")
+                 f"{eval_point['images_per_sec']:.0f} img/s")
     tag = " (flagship)" if args.model == "yolov7-w6-face" else ""
+    # vs_baseline is pinned to the EVAL operating point when measured —
+    # the north star is throughput *at AP parity*, and conf 0.01/k4096
+    # is the point the AP protocol actually runs at (the serving-point
+    # ratio is reported alongside, round-4 verdict weak #6)
+    vs_serving = round(point["images_per_sec"] / 2000.0, 4)
+    vs_eval = (round(eval_point["images_per_sec"] / 2000.0, 4)
+               if eval_point else None)
     result = {
         "metric": (f"{args.model}{tag} {args.img_size}px "
-                   f"images/sec/chip (batch={args.batch}, {args.dtype}, "
+                   f"images/sec/chip (batch={args.batch}, "
+                   f"{point['dtype']}, "
                    f"fused infer+decode+NMS, serving point conf "
                    f"{args.conf_thres}, device-resident inputs; "
                    f"with H2D over tunnel: "
                    f"{point['images_per_sec_h2d']:.0f} img/s"
-                   f"{extra}; full operating-point table in "
-                   f"BENCH_SWEEP.json)"),
+                   f"{extra}; vs_baseline is the eval-point ratio, "
+                   f"serving-point ratio {vs_serving}; full "
+                   f"operating-point table in BENCH_SWEEP.json)"),
         "value": point["images_per_sec"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(point["images_per_sec"] / 2000.0, 4),
+        "vs_baseline": vs_eval if vs_eval is not None else vs_serving,
+        "vs_baseline_serving": vs_serving,
     }
+    if vs_eval is not None:
+        result["vs_baseline_eval"] = vs_eval
     print(json.dumps(result))
     return 0
 

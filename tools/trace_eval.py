@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Attribute the w6 eval-point postprocess residue IN THE REAL GRAPH
+(round-4 verdict weak #1 / next-round #2).
+
+The honest w6 eval engine (conf 0.01, k=4096, b128@640) measures
+~157 ms = 105 forward + 52 postprocess, yet the isolated postprocess
+components (sort ~5, tile-sequential NMS 12.3, keeper gathers) sum to
+~25 ms. Truncated-graph stage cuts cannot see where the other ~27 ms
+goes (they force materializations the fused graph doesn't have), so
+this tool profiles the ACTUAL compiled executable with jax.profiler
+and aggregates device-side op durations by HLO op name.
+
+Buckets (by op-name substring, first match wins):
+  conv/fusion with dot  -> forward
+  custom-call nms       -> pallas NMS kernel
+  sort                  -> top-k sort
+  gather/scatter        -> gathers
+  everything else       -> glue (fusions: decode, masks, epilogues)
+
+Output: per-bucket totals + the top-25 single ops, written to
+tools/TRACE_EVAL.json. Works on the axon relay iff the profiler
+captures device events through the tunnel; if only host events appear,
+says so explicitly instead of publishing garbage.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+OUT = pathlib.Path(__file__).parent / "TRACE_EVAL.json"
+
+
+def parse_xspace(trace_dir: str):
+    """Read the xplane protobuf via tensorflow's bundled schema and
+    return [(plane_name, event_name, duration_ps)]."""
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
+    if not paths:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    xspace = xplane_pb2.XSpace()
+    xspace.ParseFromString(open(sorted(paths)[-1], "rb").read())
+    rows = []
+    for plane in xspace.planes:
+        for line in plane.lines:
+            for ev in line.events:
+                name = plane.event_metadata[ev.metadata_id].name
+                rows.append((plane.name, line.name, name,
+                             ev.duration_ps))
+    return rows
+
+
+def bucket_of(name: str) -> str:
+    n = name.lower()
+    if "nms" in n or ("custom" in n and "call" in n):
+        return "nms_kernel"
+    if "sort" in n or "top-k" in n or "topk" in n:
+        return "sort_topk"
+    if "gather" in n or "scatter" in n or "dynamic-slice" in n:
+        return "gather"
+    if "convolution" in n or "conv" in n or "dot" in n:
+        return "forward_conv"
+    if "fusion" in n:
+        return "fusion_glue"
+    if "copy" in n or "transpose" in n or "reshape" in n \
+            or "bitcast" in n:
+        return "layout_copy"
+    return "other"
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov7-w6-face")
+    ap.add_argument("--img-size", type=int, default=640)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--conf", type=float, default=0.01)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--platform", default=None, choices=[None, "cpu"])
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.models import zoo
+    from face_detection_multi_scale_tpu.models.head import decode
+    from face_detection_multi_scale_tpu.models.model import init_model
+    from face_detection_multi_scale_tpu.ops import nms as NMS
+
+    dtype = jnp.bfloat16
+    spec = zoo.get_spec(args.model)
+    model, variables = init_model(spec, img_size=64, dtype=dtype)
+    if args.quantize:
+        from face_detection_multi_scale_tpu.models import quant
+        variables = quant.quantize(
+            spec, variables, quant.calibrate_shape_only(spec, variables))
+
+        def forward(v, x):
+            return quant.quant_apply(spec, v, x, dtype=dtype)
+    else:
+        def forward(v, x):
+            return model.apply(v, x.astype(dtype) / 255.0, train=False)
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def engine(v, x):
+        raws = forward(v, x)
+        d = NMS.non_max_suppression(
+            decode(raws, spec), args.conf, 0.5, nc=spec.nc,
+            nkpt=spec.nkpt, max_candidates=args.k, max_det=300)
+        return (d.boxes.sum() + d.scores.sum() + d.classes.sum()
+                + d.extras.astype(jnp.float32).sum()
+                + d.valid.sum() + d.n_gated.sum())
+
+    rng = np.random.default_rng(0)
+    pool = [jax.device_put(rng.integers(
+        0, 255, (args.batch, args.img_size, args.img_size, 3), np.uint8))
+        for _ in range(3)]
+    jax.block_until_ready(pool)
+    float(engine(variables, pool[0]))  # compile
+    float(engine(variables, pool[1]))  # warm
+
+    trace_dir = "/tmp/jax-trace-eval"
+    t0 = time.perf_counter()
+    jax.profiler.start_trace(trace_dir)
+    for i in range(args.iters):
+        acc = engine(variables, pool[i % 3])
+    float(acc)
+    jax.profiler.stop_trace()
+    wall_ms = 1000 * (time.perf_counter() - t0) / args.iters
+
+    rows = parse_xspace(trace_dir)
+    device_rows = [(ln, name, ps) for pl, ln, name, ps in rows
+                   if "TPU" in pl or "/device" in pl.lower()
+                   or "xla op" in ln.lower()]
+    result = {"model": args.model, "batch": args.batch,
+              "conf": args.conf, "k": args.k, "iters": args.iters,
+              "quantize": args.quantize,
+              "wall_ms_per_iter": round(wall_ms, 1),
+              "planes": sorted({pl for pl, _, _, _ in rows}),
+              "n_device_events": len(device_rows)}
+    if not device_rows:
+        result["verdict"] = ("no device-side events captured through "
+                             "the relay — attribution not possible via "
+                             "jax.profiler here")
+    else:
+        per_op, per_bucket = {}, {}
+        for _, name, ps in device_rows:
+            ms = ps / 1e9 / args.iters
+            per_op[name] = per_op.get(name, 0.0) + ms
+            b = bucket_of(name)
+            per_bucket[b] = per_bucket.get(b, 0.0) + ms
+        result["buckets_ms_per_iter"] = {
+            k: round(v, 2) for k, v in
+            sorted(per_bucket.items(), key=lambda kv: -kv[1])}
+        result["top_ops_ms_per_iter"] = [
+            {"op": k, "ms": round(v, 3)} for k, v in
+            sorted(per_op.items(), key=lambda kv: -kv[1])[:25]]
+    OUT.write_text(json.dumps(result, indent=1))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
