@@ -42,7 +42,19 @@ OUT = pathlib.Path(__file__).parent / "TRACE_EVAL.json"
 def parse_xspace(trace_dir: str):
     """Read the xplane protobuf via tensorflow's bundled schema and
     return [(plane_name, event_name, duration_ps)]."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    import importlib
+
+    xplane_pb2 = None
+    for mod in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                "tensorflow.core.profiler.protobuf.xplane_pb2",
+                "xprof.protobuf.xplane_pb2"):
+        try:
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        raise ImportError("no xplane_pb2 schema available")
 
     paths = glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
     if not paths:
