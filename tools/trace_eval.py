@@ -73,8 +73,18 @@ def parse_xspace(trace_dir: str):
 
 def bucket_of(name: str) -> str:
     n = name.lower()
-    if "nms" in n or ("custom" in n and "call" in n):
-        return "nms_kernel"
+    # async spans (copy-start / all the *-start ops) measure start->done
+    # INCLUDING everything they overlap with — bucket them apart so the
+    # sync buckets can be read as an additive decomposition
+    if "-start" in n or "start(" in n.split(" = ")[0]:
+        return "async_span_overlapped"
+    if "tpu_custom_call" in n or n.startswith("%engine"):
+        return "nms_pallas_kernel"
+    if "kind=kcustom" in n:
+        # XLA emits kCustom fusions for gather/scatter/top-k epilogues
+        return "gather_kcustom"
+    if "nms" in n:
+        return "nms_pallas_kernel"
     if "sort" in n or "top-k" in n or "topk" in n:
         return "sort_topk"
     if "gather" in n or "scatter" in n or "dynamic-slice" in n:
@@ -98,10 +108,18 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--conf", type=float, default=0.01)
     ap.add_argument("--k", type=int, default=4096)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quantize", action="store_true")
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
+    ap.add_argument("--out", default=str(OUT))
+    ap.add_argument("--parse-only", default=None, metavar="TRACE_DIR",
+                    help="skip the run; re-bucket an existing xplane "
+                         "capture (wall_ms_per_iter reported as null)")
     args = ap.parse_args()
+
+    if args.parse_only:
+        trace_dir, wall_ms = args.parse_only, None
+        return finish(args, trace_dir, wall_ms)
 
     import jax
 
@@ -155,7 +173,10 @@ def main():
     float(acc)
     jax.profiler.stop_trace()
     wall_ms = 1000 * (time.perf_counter() - t0) / args.iters
+    return finish(args, trace_dir, wall_ms)
 
+
+def finish(args, trace_dir, wall_ms):
     rows = parse_xspace(trace_dir)
     device_rows = [(ln, name, ps) for pl, ln, name, ps in rows
                    if "TPU" in pl or "/device" in pl.lower()
@@ -163,7 +184,8 @@ def main():
     result = {"model": args.model, "batch": args.batch,
               "conf": args.conf, "k": args.k, "iters": args.iters,
               "quantize": args.quantize,
-              "wall_ms_per_iter": round(wall_ms, 1),
+              "wall_ms_per_iter": (None if wall_ms is None
+                                   else round(wall_ms, 1)),
               "planes": sorted({pl for pl, _, _, _ in rows}),
               "n_device_events": len(device_rows)}
     if not device_rows:
@@ -171,8 +193,26 @@ def main():
                              "the relay — attribution not possible via "
                              "jax.profiler here")
     else:
+        # per trace-line totals: within one xplane line events are laid
+        # out sequentially, so a line total is meaningful; summing
+        # ACROSS lines double-counts (module line nests the op line)
+        per_line = {}
+        for ln, _, ps in device_rows:
+            t, n = per_line.get(ln, (0.0, 0))
+            per_line[ln] = (t + ps / 1e9 / args.iters, n + 1)
+        result["lines_ms_per_iter"] = {
+            ln: {"ms": round(t, 2), "events": n}
+            for ln, (t, n) in
+            sorted(per_line.items(), key=lambda kv: -kv[1][0])}
+        # attribute on the op-level line only (the one with the most
+        # events); module-level entries (jit_engine totals) stay in
+        # lines_ms_per_iter as the ground-truth device total
+        op_line = max(per_line, key=lambda ln: per_line[ln][1])
+        result["attribution_line"] = op_line
         per_op, per_bucket = {}, {}
-        for _, name, ps in device_rows:
+        for ln, name, ps in device_rows:
+            if ln != op_line:
+                continue
             ms = ps / 1e9 / args.iters
             per_op[name] = per_op.get(name, 0.0) + ms
             b = bucket_of(name)
@@ -181,9 +221,9 @@ def main():
             k: round(v, 2) for k, v in
             sorted(per_bucket.items(), key=lambda kv: -kv[1])}
         result["top_ops_ms_per_iter"] = [
-            {"op": k, "ms": round(v, 3)} for k, v in
+            {"op": k[:200], "ms": round(v, 3)} for k, v in
             sorted(per_op.items(), key=lambda kv: -kv[1])[:25]]
-    OUT.write_text(json.dumps(result, indent=1))
+    pathlib.Path(args.out).write_text(json.dumps(result, indent=1))
     print(json.dumps(result))
 
 
