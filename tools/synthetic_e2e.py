@@ -110,6 +110,10 @@ def main(argv=None):
                          " <=2/255 per-pixel difference vs cv2); 'both' "
                          "evaluates the two pipelines on the same "
                          "weights and prints the AP delta")
+    ap.add_argument("--quant-ab", action="store_true",
+                    help="also evaluate W8A8 int8 serving "
+                         "(cli/test_widerface.py --quantize) on the same "
+                         "weights and print the int8 AP delta vs float")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -188,27 +192,36 @@ def main(argv=None):
 
     modes = (["host", "device"] if args.preprocess == "both"
              else [args.preprocess])
+    variants = [(m, ["--device-preprocess"] if m == "device" else [],
+                 "pred_txt" if m == "host" else "pred_txt_dev")
+                for m in modes]
+    if args.quant_ab:
+        variants.append(("int8", ["--quantize"], "pred_txt_int8"))
     results = {}
-    for mode in modes:
-        txt_dir = root / ("pred_txt" if mode == "host"
-                          else "pred_txt_dev")
+    for mode, extra, sub in variants:
+        txt_dir = root / sub
         cmd = ["--model", args.model, "--weights", str(weights),
                "--img-size", str(args.img_size),
                "--conf-thres", "0.01", "--iou-thres", "0.5",
                "--batch-size", "16",
                "--dataset_folder", str(val_images) + "/",
-               "--save_folder", str(txt_dir) + "/"]
-        if mode == "device":
-            cmd.append("--device-preprocess")
+               "--save_folder", str(txt_dir) + "/"] + extra
         tw_main(cmd)
-        print(f"[{mode} preprocess]")
+        print(f"[{mode} preprocess]" if mode in ("host", "device")
+              else f"[{mode}]")
         results[mode] = evaluation(str(txt_dir), gt_dir)
-    if len(results) == 2:
+    if "device" in results and "host" in results:
         delta = {k: results["device"][k] - results["host"][k]
                  for k in ("easy", "medium", "hard")}
         print("AP delta (device - host): "
               + " ".join(f"{k}={d:+.5f}" for k, d in delta.items()))
-    return results[modes[-1]]
+    if "int8" in results:
+        base = results.get("host", results.get("device"))
+        delta = {k: results["int8"][k] - base[k]
+                 for k in ("easy", "medium", "hard")}
+        print("AP delta (int8 - float): "
+              + " ".join(f"{k}={d:+.5f}" for k, d in delta.items()))
+    return results[variants[-1][0]]
 
 
 if __name__ == "__main__":
