@@ -178,14 +178,19 @@ def _gather_candidates_planar(pred: jnp.ndarray, *, nc: int,
     """Batched: decoded rows (bs, N, no) -> top-k candidates sorted by
     conf, everything PLANAR.
 
-    TPU gather discipline (measured, see CLAUDE.md round-3 map): a
-    row-gather `pred[idx]` lowers to a serial dynamic-slice loop —
-    ~1.6 s/batch for (4096, 21)-row gathers at b128 — while a minor-dim
-    `take_along_axis` on a (bs, N) plane is vector-unit work. So every
-    candidate field is gathered per-PLANE, and the landmark block is
-    deferred entirely until after NMS (`_select_kept_planar` gathers it
-    for the final max_det keepers only, via one flattened
-    take_along_axis)."""
+    TPU gather discipline (measured, tools/probe_gather.py +
+    TRACE_EVAL_bf16.json, round 5): gathers here are per-ELEMENT bound,
+    so the win is moving MORE per index, not fewer planes. At the eval
+    point's shapes ((128, 25500) -> k=4096) four separate per-plane
+    `take_along_axis` calls cost 27.0 ms in-graph while ONE packed
+    (bs, N, 4) gather with idx[..., None] moves the same data in
+    5.0 ms (5.4x); a flat (bs, 4N) gather with fused index math is
+    20.6 ms and a 5-operand co-sort 7.6 ms. (A row-gather `pred[idx]`
+    on (4096, 21) rows remains the catastrophic case — a serial
+    dynamic-slice loop, ~1.6 s/batch at b128.) So the xywh block is
+    gathered PACKED, and the landmark block is deferred entirely until
+    after NMS (`_select_kept_planar` gathers it for the final max_det
+    keepers only, also packed)."""
     obj = pred[..., 4]
     if nc == 1:
         conf = pred[..., 5] * obj
@@ -200,11 +205,12 @@ def _gather_candidates_planar(pred: jnp.ndarray, *, nc: int,
 
     masked_conf = jnp.where(gate, conf, NEG_INF)
     top_conf, top_idx = jax.lax.top_k(masked_conf, k)
-    take = lambda p: jnp.take_along_axis(p, top_idx, axis=1)
-    cx, cy = take(pred[..., 0]), take(pred[..., 1])
-    w2, h2 = take(pred[..., 2]) / 2, take(pred[..., 3]) / 2
+    xywh = jnp.take_along_axis(pred[..., :4], top_idx[..., None], axis=1)
+    cx, cy = xywh[..., 0], xywh[..., 1]
+    w2, h2 = xywh[..., 2] / 2, xywh[..., 3] / 2
     top_boxes = jnp.stack([cx - w2, cy - h2, cx + w2, cy + h2], axis=-1)
-    top_cls = jnp.zeros_like(top_conf) if cls is None else take(cls)
+    top_cls = (jnp.zeros_like(top_conf) if cls is None
+               else jnp.take_along_axis(cls, top_idx, axis=1))
     if agnostic or nc == 1:
         nms_boxes = top_boxes
     else:
@@ -232,12 +238,12 @@ def _select_kept_planar(keep, boxes, conf, cls, top_idx, pred, *,
 
     n_extra = pred.shape[-1] - (5 + nc)
     if n_extra > 0:
-        # per-channel minor-dim gathers measured fastest on TPU (vs one
-        # flat (bs, N*E) gather or gathering at the K stage): tiny
-        # serving 2200 vs 2027 vs 1643 img/s, w6 eval 822 vs 790 vs 501
-        extras = jnp.stack(
-            [jnp.take_along_axis(pred[..., 5 + nc + c], fin_src, axis=1)
-             for c in range(n_extra)], axis=-1)
+        # ONE packed (bs, N, E) gather (round-5 probe_gather.py: 3.0 ms
+        # vs 7.0 for 15 per-channel plane gathers at the keeper shapes;
+        # round 3 had only compared per-plane vs flat (bs, N*E) vs
+        # K-stage — 2200/2027/1643 img/s tiny serving — and missed this)
+        extras = jnp.take_along_axis(pred[..., 5 + nc:],
+                                     fin_src[..., None], axis=1)
     else:
         extras = jnp.zeros((bs, max_det, 0), pred.dtype)
     return Detections(boxes=fin_boxes, scores=fin_conf, classes=fin_cls,
@@ -365,9 +371,9 @@ def non_max_suppression_from_raws(raws, spec, conf_thres: float,
     top_conf, top_idx = jax.lax.top_k(masked, k)
     valid = top_conf > NEG_INF / 2
 
-    gat = lambda p: jnp.take_along_axis(p, top_idx, axis=1)
-    bx1, by1, bx2, by2 = gat(x1), gat(y1), gat(x2), gat(y2)
-    boxes = jnp.stack([bx1, by1, bx2, by2], axis=-1)
+    # one packed gather (probe_gather.py round 5: 5.4x over per-plane)
+    xyxy = jnp.stack([x1, y1, x2, y2], axis=-1)
+    boxes = jnp.take_along_axis(xyxy, top_idx[..., None], axis=1)
     cls_ids = jnp.zeros((bs, k), jnp.float32)
     nms_boxes = boxes if nc == 1 else boxes + (cls_ids * MAX_WH)[..., None]
 
@@ -395,8 +401,7 @@ def non_max_suppression_from_raws(raws, spec, conf_thres: float,
     sel_valid = (-neg_top) < k
     sel = jnp.where(sel_valid, sel, 0)
     take = lambda p: jnp.take_along_axis(p, sel, axis=1)
-    fin_boxes = jnp.stack([take(bx1), take(by1), take(bx2), take(by2)],
-                          axis=-1)
+    fin_boxes = jnp.take_along_axis(boxes, sel[..., None], axis=1)
     fin_conf = jnp.where(sel_valid, take(top_conf), 0.0)
     fin_idx = take(top_idx)  # (bs, max_det) indices into the full N
 
