@@ -163,8 +163,9 @@ class FaceDetector:
         if quantize:
             from face_detection_multi_scale_tpu.models import quant
             # validate the op set NOW (raises NotImplementedError for
-            # unsupported families, e.g. lite's Shuffle_Block) via the
-            # compute-free structural trace
+            # any op outside the quantized executor; all seven zoo
+            # families pass as of round 5) via the compute-free
+            # structural trace
             quant.calibrate_shape_only(self.spec, self.variables)
             if calib_images is not None:
                 self.calibrate_int8(calib_images)

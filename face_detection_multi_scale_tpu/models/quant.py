@@ -40,10 +40,14 @@ per-level raw-map contract, so ops/nms and infer/detector compose
 unchanged.
 
 Supported ops: Conv, DWConv, Concat, ADD, Upsample, ReOrg, MP, SP,
-SPF, MaxPool2d, SPPCSPC, SPPFCSPC, SPPF + Detect/IDetect/IKeypoint
-heads -- the full yolov7-w6 / yolov7-face / tiny-face / s-face op sets.
-Unsupported ops raise NotImplementedError (lite's Shuffle_Block family
-would need per-branch scale plumbing; add when needed).
+SPF, MaxPool2d, SPPCSPC, SPPFCSPC, SPPF, StemBlock, Shuffle_Block,
+DWConvblock, conv_bn_relu_maxpool + Detect/IDetect/IKeypoint heads --
+the full op sets of all seven zoo architectures including the lite
+family.  Lite notes: channel split / channel_shuffle are per-tensor
+scale-preserving permutations so int8 passes through unchanged; ADD
+(x1 + alpha*x2, alpha=1 in every face cfg) unifies its input scales
+and requants its output to an own calibrated scale
+(qparams["adds"]).  Unsupported ops raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -139,12 +143,15 @@ def _node_act(spec: ModelSpec, node: Node) -> str:
 def _walk(spec: ModelSpec, x: Value,
           conv: Callable[[ConvDesc, Value], Value],
           head: Callable[[int, Node, List[Value]], Any],
-          on_concat: Optional[Callable[[List[str]], str]] = None):
+          on_concat: Optional[Callable[[List[str]], str]] = None,
+          add: Optional[Callable[[int, float, List[Value]], Value]] = None):
     """Run the resolved node list with from-routing, dispatching every
     ConvBN through `conv` and the final head through `head`.  Composite
-    SPP blocks are inlined so their internal tensors are first-class
-    quantization points.  `on_concat` unifies scale groups (calibration)
-    or picks the representative tag (quantized run)."""
+    SPP / lite blocks are inlined so their internal tensors are
+    first-class quantization points.  `on_concat` unifies scale groups
+    (calibration) or picks the representative tag (quantized run).
+    `add` handles the ADD node (i, alpha, inputs) -> Value; it owns the
+    requant since a sum exceeds the shared input scale's int8 range."""
     spec = spec.resolve()
     nodes = spec.nodes
     save = set(spec.save)
@@ -202,6 +209,58 @@ def _walk(spec: ModelSpec, x: Value,
         out = cat([x1, y1, y2, y3])
         return conv(_conv_desc(f"{t}/cv2", 1, 1, None, 1, act), out)
 
+    def stem(node: Node, t: str, v: Value) -> Value:
+        # StemBlock (models/common.py:422-437; models/layers.py)
+        k = int(node.args[1]) if len(node.args) > 1 else 3
+        s = int(node.args[2]) if len(node.args) > 2 else 2
+        s1 = conv(_conv_desc(f"{t}/stem_1", k, s, None, 1, "silu"), v)
+        s2a = conv(_conv_desc(f"{t}/stem_2a", 1, 1, 0, 1, "silu"), s1)
+        s2b = conv(_conv_desc(f"{t}/stem_2b", 3, 2, 1, 1, "silu"), s2a)
+        s2p = (L.max_pool(s1[0], 2, 2, 0, ceil_mode=True), s1[1])
+        out = cat([s2b, s2p])
+        return conv(_conv_desc(f"{t}/stem_3", 1, 1, 0, 1, "silu"), out)
+
+    def shuffle(node: Node, t: str, v: Value) -> Value:
+        # ShuffleNetV2 unit (models/common.py:494-539): split/shuffle
+        # are per-tensor-scale-preserving channel permutations
+        c1, c2 = node.c1, node.c2
+        stride = int(node.args[1])
+        bf = c2 // 2
+        if stride > 1:
+            b1 = conv(_conv_desc(f"{t}@branch1_0,branch1_1", 3, stride,
+                                 1, c1, "none"), v)
+            b1 = conv(_conv_desc(f"{t}@branch1_2,branch1_3", 1, 1, 0, 1,
+                                 "silu"), b1)
+            x2 = v
+        else:
+            b1 = (v[0][..., :bf], v[1])
+            x2 = (v[0][..., bf:], v[1])
+        b2 = conv(_conv_desc(f"{t}@branch2_0,branch2_1", 1, 1, 0, 1,
+                             "silu"), x2)
+        b2 = conv(_conv_desc(f"{t}@branch2_3,branch2_4", 3, stride, 1,
+                             bf, "none"), b2)
+        b2 = conv(_conv_desc(f"{t}@branch2_5,branch2_6", 1, 1, 0, 1,
+                             "silu"), b2)
+        out = cat([b1, b2])
+        return (L.channel_shuffle(out[0], 2), out[1])
+
+    def dwblock(node: Node, t: str, v: Value) -> Value:
+        # DWConvblock (models/common.py:452-471): dw k x k then pw 1x1
+        k = int(node.args[1])
+        s = int(node.args[2])
+        v = conv(_conv_desc(f"{t}@conv1,bn1", k, s, k // 2, node.c1,
+                            "silu"), v)
+        return conv(_conv_desc(f"{t}@conv2,bn2", 1, 1, 0, 1, "silu"), v)
+
+    def cbrm(node: Node, t: str, v: Value) -> Value:
+        # conv_bn_relu_maxpool (models/common.py:439-450): despite the
+        # reference name the activation is silu (models/layers.py)
+        v = conv(_conv_desc(f"{t}@conv_0,conv_1", 3, 2, 1, 1, "silu"), v)
+        return (L.max_pool(v[0], 3, 2, 1), v[1])
+
+    LITE_BLOCKS = {"StemBlock": stem, "Shuffle_Block": shuffle,
+                   "DWConvblock": dwblock, "conv_bn_relu_maxpool": cbrm}
+
     for i, node in enumerate(nodes):
         if isinstance(node.f, int):
             inp = x if node.f == i - 1 else saved[node.f]
@@ -229,6 +288,12 @@ def _walk(spec: ModelSpec, x: Value,
                                 _node_act(spec, node)), inp)
         elif op == "Concat":
             x = cat(inp)
+        elif op == "ADD":
+            alpha = float(node.args[0]) if node.args else 0.5
+            if add is None:
+                raise NotImplementedError(
+                    "ADD requires the walk's `add` callback")
+            x = add(i, alpha, inp)
         elif op == "Upsample":
             x = (L.upsample2x_nearest(inp[0]), inp[1])
         elif op == "ReOrg":
@@ -242,6 +307,16 @@ def _walk(spec: ModelSpec, x: Value,
             x = spp_csp(node, i, inp, fast=True)
         elif op == "SPPF":
             x = sppf(node, i, inp)
+        elif op in LITE_BLOCKS:
+            # repeated blocks expand to model_{i}_{j} param subtrees
+            # (model.py's n_resolved semantics, e.g. lite's stacked
+            # stride-1 Shuffle_Blocks)
+            reps = node.n_resolved
+            v = inp
+            for j in range(reps):
+                base = f"model_{i}_{j}" if reps > 1 else f"model_{i}"
+                v = LITE_BLOCKS[op](node, base, v)
+            x = v
         else:
             raise NotImplementedError(
                 f"quantized executor does not support op {op!r}")
@@ -258,6 +333,24 @@ def _subtree(variables, tag: str):
         p = p[part]
         s = s.get(part) if isinstance(s, Mapping) else None
     return p, s
+
+
+def fold_by_tag(variables, tag: str):
+    """Effective (kernel, bias) for a conv tag.  Two addressing forms:
+    "model_3/cv1" names a ConvBN module subtree ({"conv", "bn"});
+    "model_3@conv1,bn1" names raw nn.Conv / nn.BatchNorm leaf pairs
+    (the lite blocks -- DWConvblock, ShuffleBlock, ConvBnReluMaxpool --
+    declare their leaves directly, reference models/common.py:452-539)."""
+    from collections.abc import Mapping
+    if "@" in tag:
+        base, pair = tag.split("@")
+        ck, bk = pair.split(",")
+        p, s = _subtree(variables, base)
+        return fold_convbn(
+            {"conv": p[ck], "bn": p[bk]},
+            {"bn": s[bk]} if isinstance(s, Mapping) and bk in s else None)
+    p, s = _subtree(variables, tag)
+    return fold_convbn(p, s)
 
 
 def _run_conv_f32(desc: ConvDesc, x, w, b):
@@ -298,6 +391,8 @@ class CalibResult:
     in_tag: Dict[str, str]          # conv tag -> its input's scale tag
     groups: _Unify                  # tag unification
     head_in_tags: Tuple[str, ...]   # scale tags feeding the head
+    add_in: Dict[str, str] = dataclasses.field(default_factory=dict)
+    # ADD tag ("model_i.add") -> its (unified) input scale tag
 
 
 def calibrate(spec: ModelSpec, variables,
@@ -311,6 +406,7 @@ def calibrate(spec: ModelSpec, variables,
     uf = _Unify()
     order: List[str] = []
     in_tag: Dict[str, str] = {}
+    add_in: Dict[str, str] = {}
     head_tags: List[str] = []
 
     def traced(v, x):
@@ -318,24 +414,33 @@ def calibrate(spec: ModelSpec, variables,
 
         def conv(desc: ConvDesc, val: Value) -> Value:
             arr, src = val
-            p, st = _subtree(v, desc.tag)
-            w, b = fold_convbn(p, st)
+            w, b = fold_by_tag(v, desc.tag)
             y = _run_conv_f32(desc, arr.astype(jnp.float32), w, b)
             in_tag[desc.tag] = src
             order.append(desc.tag)
             stats.append(jnp.max(jnp.abs(y)).astype(jnp.float32))
             return (y, desc.tag)
 
+        def add(i, alpha, vals):
+            src = uf.union([t for _, t in vals])
+            y = vals[0][0].astype(jnp.float32) \
+                + alpha * vals[1][0].astype(jnp.float32)
+            t = f"model_{i}.add"
+            add_in[t] = src
+            order.append(t)
+            stats.append(jnp.max(jnp.abs(y)).astype(jnp.float32))
+            return (y, t)
+
         def head(i, node, inp):
             head_tags.extend(t for _, t in inp)
             return jnp.stack(stats)
 
         return _walk(spec, (x.astype(jnp.float32), "in"), conv, head,
-                     on_concat=lambda tags: uf.union(tags))
+                     on_concat=lambda tags: uf.union(tags), add=add)
 
     amaxes = np.asarray(jax.jit(traced)(variables, x_calib))
     res = CalibResult(amax={}, in_tag=in_tag, groups=uf,
-                      head_in_tags=tuple(head_tags))
+                      head_in_tags=tuple(head_tags), add_in=add_in)
     # group-max over unified tags; "in" is the fixed input scale point
     grouped: Dict[str, float] = {}
     for t, v in zip(order, amaxes):
@@ -368,8 +473,7 @@ def quantize(spec: ModelSpec, variables, calib: CalibResult) -> Dict:
         return max(calib.amax[tag], 1e-12) / 127.0
 
     for tag, src in calib.in_tag.items():
-        p, st = _subtree(variables, tag)
-        w, b = fold_convbn(p, st)
+        w, b = fold_by_tag(variables, tag)
         s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
         w_q = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
         s_in = s_of(src)
@@ -388,7 +492,10 @@ def quantize(spec: ModelSpec, variables, calib: CalibResult) -> Dict:
                  if f"model_{head_idx}" in tree}
     head_scales = jnp.asarray([s_of(t) for t in calib.head_in_tags],
                               jnp.float32)
-    return {"convs": convs, "head": head_vars,
+    # ADD outputs requant from the unified input scale to their own
+    adds = {t: jnp.float32(s_of(src) / s_of(t))
+            for t, src in calib.add_in.items()}
+    return {"convs": convs, "adds": adds, "head": head_vars,
             "head_scales": head_scales}
 
 
@@ -422,6 +529,15 @@ def quant_apply(spec: ModelSpec, qparams: Dict, x: jnp.ndarray,
         zq = jnp.clip(jnp.round(z * q["inv_out"]), -127, 127)
         return (zq.astype(jnp.int8), desc.tag)
 
+    def add(i, alpha, vals):
+        # inputs share one scale (calibration unified them); the sum is
+        # requanted to its own calibrated scale by the precomputed ratio
+        t = f"model_{i}.add"
+        y = (vals[0][0].astype(jnp.float32)
+             + jnp.float32(alpha) * vals[1][0].astype(jnp.float32)) \
+            * qparams["adds"][t]
+        return (jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8), t)
+
     def head(i, node, inp):
         scales = qparams["head_scales"]
         xs = [(arr.astype(dtype) * scales[j].astype(dtype))
@@ -436,7 +552,7 @@ def quant_apply(spec: ModelSpec, qparams: Dict, x: jnp.ndarray,
             return raws
         return [reshape_level(r, spec.na, spec.no) for r in raws]
 
-    return _walk(spec, (x_q, "in"), conv, head)
+    return _walk(spec, (x_q, "in"), conv, head, add=add)
 
 
 def quantize_model(spec: ModelSpec, variables, x_calib: jnp.ndarray):
@@ -455,26 +571,36 @@ def calibrate_shape_only(spec: ModelSpec, variables,
     uf = _Unify()
     order: List[str] = []
     in_tag: Dict[str, str] = {}
+    add_in: Dict[str, str] = {}
     head_tags: List[str] = []
 
     def traced(v, x):
         def conv(desc: ConvDesc, val: Value) -> Value:
             arr, src = val
-            p, st = _subtree(v, desc.tag)
-            w, b = fold_convbn(p, st)
+            w, b = fold_by_tag(v, desc.tag)
             y = _run_conv_f32(desc, arr.astype(jnp.float32), w, b)
             in_tag[desc.tag] = src
             order.append(desc.tag)
             return (y, desc.tag)
+
+        def add(i, alpha, vals):
+            src = uf.union([t for _, t in vals])
+            y = vals[0][0].astype(jnp.float32) \
+                + alpha * vals[1][0].astype(jnp.float32)
+            t = f"model_{i}.add"
+            add_in[t] = src
+            order.append(t)
+            return (y, t)
 
         def head(i, node, inp):
             head_tags.extend(t for _, t in inp)
             return jnp.zeros(())
 
         return _walk(spec, (x.astype(jnp.float32), "in"), conv, head,
-                     on_concat=lambda tags: uf.union(tags))
+                     on_concat=lambda tags: uf.union(tags), add=add)
 
     x = jax.ShapeDtypeStruct((1, img_size, img_size, 3), jnp.float32)
     jax.eval_shape(traced, variables, x)
     return CalibResult(amax={t: 1.0 for t in order}, in_tag=in_tag,
-                       groups=uf, head_in_tags=tuple(head_tags))
+                       groups=uf, head_in_tags=tuple(head_tags),
+                       add_in=add_in)

@@ -122,10 +122,12 @@ def test_qparams_are_jit_arguments():
                                    atol=1e-5)
 
 
-@pytest.mark.parametrize("name", ["yolov7s-face"])
+@pytest.mark.parametrize("name", ["yolov7s-face", "yolov7-lite-t"])
 def test_quant_supports_spp_family(name):
-    """The s-face SPPF/SPPCSPC composites inline their internal convs as
-    first-class quantization points; the executor runs them end to end."""
+    """Composite blocks inline their internal convs as first-class
+    quantization points and the executor runs them end to end: s-face's
+    SPPF/SPPCSPC and lite's StemBlock / Shuffle_Block (channel
+    split+shuffle pass int8 through) / DWConvblock / requanted ADD."""
     spec, model, variables = _noisy_model(name, img_size=64)
     x = jnp.asarray(_calib_batch(img_size=64, batch=1))
     qparams = quant.quantize_model(spec, variables, x)
@@ -167,11 +169,25 @@ def test_detector_int8_end_to_end():
     assert id(det_q._qparams) == qid
 
 
-def test_detector_int8_rejects_unsupported_family():
-    """lite's Shuffle_Block family is outside the quantized op set; the
-    detector must fail loudly at construction, not at first batch."""
+def test_detector_int8_lite_family():
+    """Round 5 extended the quantized executor to the lite family
+    (StemBlock / Shuffle_Block / DWConvblock / ADD): the detector
+    constructs, calibrates lazily, and produces detections matching the
+    float engine's contract."""
     from face_detection_multi_scale_tpu.infer.detector import FaceDetector
 
-    with pytest.raises(NotImplementedError):
-        FaceDetector(model="yolov7-lite-t", img_sizes=(64,),
-                     quantize="int8")
+    spec, model, variables = _noisy_model("yolov7-lite-t")
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (96, 128, 3), np.uint8)
+
+    kw = dict(model="yolov7-lite-t", img_sizes=(64,), conf_thres=0.05,
+              iou_thres=0.5, max_det=20, max_candidates=256)
+    det_f = FaceDetector(variables=variables, **kw)
+    det_q = FaceDetector(variables=variables, quantize="int8", **kw)
+    rows_f, _, _ = det_f.detect_single_scale(img, 64)
+    rows_q, _, _ = det_q.detect_single_scale(img, 64)
+    assert rows_q.shape[1] == rows_f.shape[1]
+    assert abs(len(rows_q) - len(rows_f)) <= 1
+    if len(rows_f) and len(rows_q):
+        np.testing.assert_allclose(rows_q[0][:4], rows_f[0][:4], atol=2.0)
+        assert abs(rows_q[0][4] - rows_f[0][4]) < 0.05
