@@ -51,6 +51,11 @@ def main():
          False, None, True),
         ("yolov7-w6-face", 1280, 32, 8, 2, "bfloat16", 0.25, 1024,
          False, 8, True),
+        # does int8's smaller working set move the b128 saturation?
+        ("yolov7-w6-face", 640, 256, 6, 2, "bfloat16", 0.25, 1024,
+         False, None, True),
+        ("yolov7-tiny-face", 640, 256, 10, 2, "bfloat16", 0.25, 1024,
+         False, None, True),
     ]
     rows = []
     for p in points:

@@ -76,7 +76,7 @@ def measure(fn, pool, iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--pool", type=int, default=3)
     ap.add_argument("--platform", default=None, choices=[None, "cpu"])
     ap.add_argument("--warmup", type=float, default=60)
@@ -96,6 +96,20 @@ def main():
             float(x.sum())
 
     rng = np.random.default_rng(0)
+
+    # per-iteration measurement overhead (relay enqueue + the single
+    # scalar fetch, amortized over iters): measured on a ~zero-floor op
+    # and SUBTRACTED from every row — at iters=16 it was ~2-3 ms/row and
+    # made a 0.15 ms conv read 3.3 ms (first run, 2026-08-19)
+    null_pool = [jax.device_put(jnp.ones((8, 128), jnp.float32) * i)
+                 for i in range(args.pool)]
+    jax.block_until_ready(null_pool)
+    null_f = jax.jit(lambda x: x * 1.0001)
+    overhead_ms = 1000 * measure(lambda x: null_f(x), null_pool,
+                                 args.iters)
+    print(json.dumps({"overhead_ms_per_iter": round(overhead_ms, 3)}),
+          file=sys.stderr, flush=True)
+
     rows, iso_sum = [], 0.0
     for name, hw, ci, co, k, s in SHAPES:
         kern = jax.device_put(jnp.asarray(
@@ -113,7 +127,8 @@ def main():
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return jax.nn.silu(y)
 
-        ms = 1000 * measure(f, pool, args.iters)
+        ms_raw = 1000 * measure(f, pool, args.iters)
+        ms = max(ms_raw - overhead_ms, 1e-3)
         ho = hw // s
         flops = 2 * k * k * ci * co * ho * ho * args.batch
         bytes_ = 2 * args.batch * (hw * hw * ci + ho * ho * co) \
@@ -127,6 +142,7 @@ def main():
         dupes = EXTRA_DUPES.get(name, 1)
         iso_sum += ms * dupes
         row = {"shape": name, "ms": round(ms, 3),
+               "ms_raw": round(ms_raw, 3),
                "mxu_floor_ms": round(mxu_ms, 3),
                "hbm_floor_ms": round(hbm_ms, 3),
                "lane_capped_expect_ms": round(expect, 3),
@@ -134,8 +150,12 @@ def main():
                "x_count_in_segment": dupes}
         rows.append(row)
         print(json.dumps(row), file=sys.stderr, flush=True)
+        # incremental write: a relay stall / timeout must not lose rows
+        OUT.write_text(json.dumps({"partial": True, "rows": rows},
+                                  indent=1))
 
-    result = {"batch": args.batch,
+    result = {"batch": args.batch, "iters": args.iters,
+              "overhead_ms_per_iter": round(overhead_ms, 3),
               "isolated_sum_ms": round(iso_sum, 1),
               "in_graph_segment_ms": 20.2,
               "segment_floor_ms": 14.3,
