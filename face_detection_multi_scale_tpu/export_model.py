@@ -98,7 +98,8 @@ def export_onnx(model, variables, spec, path: str, *,
                 raw_heads: bool = False,
                 conf_thres: float = 0.25, iou_thres: float = 0.45,
                 max_det: int = 300, dtype=jnp.float32,
-                opset: int = 13, engine: str = "auto") -> str:
+                opset: int = 13, engine: str = "auto",
+                qparams=None) -> str:
     """ONNX — the reference's actual interchange format
     (models/export.py:85-132, opset 11 there; 13 here).
 
@@ -119,7 +120,13 @@ def export_onnx(model, variables, spec, path: str, *,
     `tf2onnx` + `onnx` packages (absent from the frozen TPU image).
     Postprocess-fused export is off by default either way — ONNX
     consumers usually attach their own NMS, matching the reference
-    default (--export-nms opt-in)."""
+    default (--export-nms opt-in).
+
+    qparams (from models/quant.quantize_model or
+    FaceDetector.calibrate_int8) switches the native engine to the
+    W8A8 int8 graph: int8 initializers + ConvInteger bodies, the
+    interchange analogue of the reference's int8-capable ncnn
+    deployment (cpp/yolov7-face-ncnn)."""
     if engine == "auto":
         engine = "native"
     if engine == "native":
@@ -128,9 +135,17 @@ def export_onnx(model, variables, spec, path: str, *,
                 f"native ONNX export emits opset 13 only (got {opset}); "
                 "use engine='tf2onnx' for other opsets")
         from face_detection_multi_scale_tpu.onnx.export import (
-            export_onnx_native, export_onnx_native_fused)
+            export_onnx_native, export_onnx_native_fused,
+            export_onnx_native_quant)
 
-        if include_postprocess:
+        if qparams is not None:
+            export_onnx_native_quant(
+                spec, qparams, path, img_size=img_size, batch=batch,
+                raw_heads=raw_heads,
+                include_postprocess=include_postprocess,
+                conf_thres=conf_thres, iou_thres=iou_thres,
+                max_det=max_det)
+        elif include_postprocess:
             if raw_heads:
                 raise ValueError(
                     "raw_heads and include_postprocess are mutually "
@@ -150,6 +165,7 @@ def export_onnx(model, variables, spec, path: str, *,
             "nkpt": spec.nkpt, "nc": spec.nc,
             "strides": list(spec.strides), "opset": 13,
             "engine": "native",
+            "quantize": "int8" if qparams is not None else None,
             "input": "uint8 NHWC RGB, network-input frame",
             "output": ("boxes,scores,classes,extras,batch_index "
                        "(dynamic K)" if include_postprocess
@@ -162,6 +178,10 @@ def export_onnx(model, variables, spec, path: str, *,
         with open(path + ".json", "w") as f:
             json.dump(meta, f, indent=2)
         return path
+    if qparams is not None:
+        raise ValueError(
+            "int8 (qparams) export is only supported by the native "
+            "engine (the jax2tf bridge path exports the float graph)")
     if raw_heads:
         raise ValueError(
             "raw_heads is only supported by the native engine "

@@ -49,6 +49,7 @@ _DTYPES = {
     "float64": pb.TensorProto.DOUBLE,
     "float16": pb.TensorProto.FLOAT16,
     "bfloat16": pb.TensorProto.BFLOAT16,
+    "int8": pb.TensorProto.INT8,
     "int32": pb.TensorProto.INT32,
     "int64": pb.TensorProto.INT64,
     "uint8": pb.TensorProto.UINT8,
@@ -325,6 +326,18 @@ class _Converter:
         out = self.b.node("Pow", [x, expo])[0]
         self.write(eqn.outvars[0], out)
 
+    def op_round(self, eqn):
+        # jnp.round rounds half-to-even, exactly ONNX Round's contract;
+        # lax.round's other mode (AWAY_FROM_ZERO) has no 1:1 ONNX op.
+        method = eqn.params.get("rounding_method")
+        # arrives as the enum OR its raw value (TO_NEAREST_EVEN == 1)
+        if method is not None and int(method) != 1:
+            raise NotImplementedError(
+                f"lax.round with rounding_method={method} (ONNX Round "
+                "is half-to-even only)")
+        out = self.b.node("Round", [self.read(eqn.invars[0])])[0]
+        self.write(eqn.outvars[0], out)
+
     def op_rsqrt(self, eqn):
         s = self.b.node("Sqrt", [self.read(eqn.invars[0])])[0]
         out = self.b.node("Reciprocal", [s])[0]
@@ -387,8 +400,19 @@ class _Converter:
             self._oihw_cache[cache_key] = w_onnx
 
         pads = list(p["padding"])  # [(lo, hi)] per spatial dim
+        # Integer conv (the W8A8 quantized executor, models/quant.py):
+        # int8 x int8 with int32 accumulate maps 1:1 to ONNX
+        # ConvInteger-10 (zero points default to 0 — our quantization
+        # is symmetric).  Same attribute set as Conv.
+        conv_op = "Conv"
+        if np.dtype(eqn.invars[0].aval.dtype).kind in "iu":
+            conv_op = "ConvInteger"
+            if np.dtype(eqn.outvars[0].aval.dtype) != np.int32:
+                raise NotImplementedError(
+                    "integer conv must accumulate to int32 "
+                    "(ConvInteger's output type)")
         out = self.b.node(
-            "Conv", [x, w_onnx],
+            conv_op, [x, w_onnx],
             strides=list(p["window_strides"]),
             pads=[lo for lo, _ in pads] + [hi for _, hi in pads],
             dilations=list(p["rhs_dilation"]),
@@ -669,6 +693,74 @@ def export_onnx_native_fused(model, variables, spec, path: str, *,
              "input uint8 NHWC RGB network-input frame; outputs "
              "boxes/scores/classes/extras/batch_index with dynamic K; "
              "exported natively (no onnx/tf2onnx) via jaxpr->ONNX"))
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    return path
+
+
+def export_onnx_native_quant(spec, qparams, path: str, *,
+                             img_size: int = 640, batch: int = 1,
+                             raw_heads: bool = False,
+                             include_postprocess: bool = False,
+                             conf_thres: float = 0.25,
+                             iou_thres: float = 0.45,
+                             max_det: int = 300) -> str:
+    """Export the W8A8 quantized forward (models/quant.quant_apply) as
+    a self-contained int8 ONNX graph: int8 weight initializers,
+    `ConvInteger` (int32 accumulate) per conv, dequant/activation/
+    requant epilogues as explicit float ops, float head + decode.
+
+    This is the deployment analogue of the reference's int8-capable
+    ncnn app (cpp/yolov7-face-ncnn — its vendored runtime requantizes
+    conv outputs int32->int8 exactly like our epilogue,
+    include/ncnn/mat.h:795-797; model interchange via cpp/export.py) —
+    but the quantization arithmetic here is the repo's own measured
+    TPU serving mode, so an ONNX consumer reproduces
+    `FaceDetector(quantize="int8")` bit-for-bit up to float
+    reassociation.  `qparams` comes from models/quant.quantize_model
+    (real calibration data; detector.calibrate_int8).
+
+    include_postprocess=True appends the same NonMaxSuppression tail
+    as export_onnx_native_fused (the --export-nms contract)."""
+    import jax.numpy as jnp
+
+    from face_detection_multi_scale_tpu.models.head import decode
+    from face_detection_multi_scale_tpu.models.quant import quant_apply
+
+    if raw_heads and include_postprocess:
+        raise ValueError("raw_heads and include_postprocess are "
+                         "mutually exclusive")
+
+    def fn(qp, images_u8):
+        raws = quant_apply(spec, qp, images_u8, dtype=jnp.float32)
+        if raw_heads:
+            return tuple(raws)
+        return decode(raws, spec)
+
+    x_spec = jnp.zeros((batch, img_size, img_size, 3), jnp.uint8)
+    doc_tail = ("; W8A8 int8 (ConvInteger) with calibrated requant "
+                "epilogues; input uint8 NHWC RGB network-input frame; "
+                "exported natively (no onnx/tf2onnx) via jaxpr->ONNX")
+    if include_postprocess:
+        b, graph_inputs, outs = _trace_graph(fn, (qparams, x_spec))
+        (pred_name, pred_aval), = outs
+        outputs = _append_nms_postprocess(
+            b, pred_name, pred_aval.shape, nc=spec.nc,
+            conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det)
+        m = _finalize_model(
+            b, graph_inputs, outputs,
+            graph_name=f"{spec.name}-{img_size}-int8-nms",
+            doc=(f"{spec.name} {img_size}px decoded + fused NMS "
+                 f"(conf {conf_thres}, iou {iou_thres}, max_det "
+                 f"{max_det})" + doc_tail))
+        with open(path, "wb") as f:
+            f.write(m.SerializeToString())
+        return path
+    m = trace_to_onnx(
+        fn, (qparams, x_spec),
+        graph_name=f"{spec.name}-{img_size}-int8",
+        doc=(f"{spec.name} {img_size}px "
+             f"{'raw heads' if raw_heads else 'decoded'}" + doc_tail))
     with open(path, "wb") as f:
         f.write(m.SerializeToString())
     return path

@@ -20,6 +20,7 @@ _ONNX_TO_NP = {
     pb.TensorProto.FLOAT: np.float32,
     pb.TensorProto.DOUBLE: np.float64,
     pb.TensorProto.FLOAT16: np.float16,
+    pb.TensorProto.INT8: np.int8,
     pb.TensorProto.INT32: np.int32,
     pb.TensorProto.INT64: np.int64,
     pb.TensorProto.UINT8: np.uint8,
@@ -60,7 +61,7 @@ def _attrs(node: pb.NodeProto) -> Dict[str, object]:
     return out
 
 
-def _conv2d(x, w, strides, pads, dilations, group):
+def _conv2d(x, w, strides, pads, dilations, group, acc_dtype=np.float32):
     n, c, h, wd = x.shape
     o, ci, kh, kw = w.shape
     sh, sw = strides
@@ -71,19 +72,19 @@ def _conv2d(x, w, strides, pads, dilations, group):
     ew = (kw - 1) * dw + 1
     out_h = (xp.shape[2] - eh) // sh + 1
     out_w = (xp.shape[3] - ew) // sw + 1
-    out = np.zeros((n, o, out_h, out_w), np.float32)
+    out = np.zeros((n, o, out_h, out_w), acc_dtype)
     cg = c // group
     og = o // group
     for g in range(group):
         xg = xp[:, g * cg:(g + 1) * cg]
         wg = w[g * og:(g + 1) * og]
-        acc = np.zeros((n, og, out_h, out_w), np.float32)
+        acc = np.zeros((n, og, out_h, out_w), acc_dtype)
         for i in range(kh):
             for j in range(kw):
                 xs = xg[:, :, i * dh: i * dh + out_h * sh: sh,
                         j * dw: j * dw + out_w * sw: sw]
                 acc += np.einsum("nchw,oc->nohw", xs, wg[:, :, i, j],
-                                 dtype=np.float32)
+                                 dtype=acc_dtype)
         out[:, g * og:(g + 1) * og] = acc
     return out
 
@@ -92,11 +93,13 @@ def _maxpool2d(x, kernel, strides, pads):
     kh, kw = kernel
     sh, sw = strides
     p0h, p0w, p1h, p1w = pads
+    lowest = (np.iinfo(x.dtype).min if x.dtype.kind in "iu"
+              else -np.inf)  # int8 pooling (the W8A8 export's SPP)
     xp = np.pad(x, ((0, 0), (0, 0), (p0h, p1h), (p0w, p1w)),
-                constant_values=-np.inf)
+                constant_values=lowest)
     out_h = (xp.shape[2] - kh) // sh + 1
     out_w = (xp.shape[3] - kw) // sw + 1
-    out = np.full((x.shape[0], x.shape[1], out_h, out_w), -np.inf,
+    out = np.full((x.shape[0], x.shape[1], out_h, out_w), lowest,
                   x.dtype)
     for i in range(kh):
         for j in range(kw):
@@ -176,6 +179,23 @@ def run_model(model: pb.ModelProto, feeds: Dict[str, np.ndarray]):
             y = _conv2d(x[0].astype(np.float32), x[1].astype(np.float32),
                         a.get("strides", [1, 1]), a.get("pads", [0] * 4),
                         a.get("dilations", [1, 1]), a.get("group", 1))
+        elif op == "ConvInteger":
+            # int8/uint8 conv with exact int32 accumulate (the W8A8
+            # export).  Optional zero points (inputs 2/3) are
+            # subtracted per spec; our symmetric export omits them.
+            xi = x[0].astype(np.int64)
+            wi = x[1].astype(np.int64)
+            if len(x) > 2 and x[2].size:
+                xi = xi - x[2].astype(np.int64)
+            if len(x) > 3 and x[3].size:
+                wi = wi - x[3].astype(np.int64).reshape(-1, 1, 1, 1)
+            y = _conv2d(xi, wi, a.get("strides", [1, 1]),
+                        a.get("pads", [0] * 4),
+                        a.get("dilations", [1, 1]), a.get("group", 1),
+                        acc_dtype=np.int64).astype(np.int32)
+        elif op == "Round":
+            # ONNX Round is half-to-even, numpy's default
+            y = np.round(x[0])
         elif op == "MaxPool":
             y = _maxpool2d(x[0], a["kernel_shape"],
                            a.get("strides", [1, 1]), a.get("pads", [0] * 4))

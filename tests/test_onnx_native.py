@@ -152,6 +152,102 @@ def test_fused_nms_roundtrip(tmp_path):
                                    atol=5e-3)
 
 
+def test_int8_quant_roundtrip(tmp_path):
+    """W8A8 int8 export (ConvInteger bodies, int8 initializers) —
+    the ONNX interchange of FaceDetector(quantize='int8'), the
+    deployment analogue of the reference's int8-capable ncnn app
+    (cpp/yolov7-face-ncnn, include/ncnn/mat.h:795-797) — round-tripped
+    through the numpy executor against the live quantized forward
+    (models/quant.quant_apply)."""
+    from face_detection_multi_scale_tpu import export_model as EM
+    from face_detection_multi_scale_tpu.models import quant
+
+    batch, img_size = 2, 64
+    spec = zoo.get_spec("yolov7-tiny-face")
+    model, variables = init_model(spec, img_size=img_size)
+    rng = np.random.RandomState(0)
+    calib = jnp.asarray(rng.rand(2, img_size, img_size, 3), jnp.float32)
+    qp = quant.quantize_model(spec, variables, calib)
+
+    path = str(tmp_path / "tiny_int8.onnx")
+    EM.export_onnx(model, variables, spec, path, img_size=img_size,
+                   batch=batch, qparams=qp)
+
+    img = rng.randint(0, 255, (batch, img_size, img_size, 3), np.uint8)
+    (got,) = runner.run_onnx(path, {"images": img})
+    ref = np.asarray(decode(
+        quant.quant_apply(spec, qp, jnp.asarray(img), dtype=jnp.float32),
+        spec))
+    assert ref.shape == got.shape
+    # the int8 spine is integer-exact; the float epilogues (dequant,
+    # activation, decode) carry only reassociation noise
+    np.testing.assert_allclose(ref, got, atol=2e-3, rtol=1e-3)
+
+    # structural: quantized body convs are ConvInteger over int8
+    # weights; the float head keeps standard Conv
+    m = runner.load_model(path)
+    ops = {n.op_type for n in m.graph.node}
+    assert {"ConvInteger", "Conv", "Round", "Cast"} <= ops
+    int8_inits = [t for t in m.graph.initializer
+                  if t.data_type == pb.TensorProto.INT8]
+    n_convint = sum(n.op_type == "ConvInteger" for n in m.graph.node)
+    assert n_convint > 0 and len(int8_inits) >= n_convint
+    meta = __import__("json").load(open(path + ".json"))
+    assert meta["quantize"] == "int8"
+
+
+def test_int8_quant_fused_nms(tmp_path):
+    """int8 graph + the fused NonMaxSuppression tail in one artifact
+    (--export-nms over the quantized forward), matched row-for-row
+    against the live int8 engine."""
+    from face_detection_multi_scale_tpu.models import quant
+    from face_detection_multi_scale_tpu.onnx.export import (
+        export_onnx_native_quant)
+    from face_detection_multi_scale_tpu.ops import nms as NMS
+
+    conf_thres, iou_thres, max_det = 0.05, 0.5, 20
+    batch, img_size = 2, 64
+    spec = zoo.get_spec("yolov7-tiny-face")
+    model, variables = init_model(spec, img_size=img_size)
+    prng = np.random.RandomState(3)
+    leaves, treedef = jax.tree.flatten(variables)
+    variables = jax.tree.unflatten(
+        treedef, [l + 0.05 * prng.normal(size=l.shape).astype(np.float32)
+                  for l in leaves])
+    rng = np.random.RandomState(7)
+    calib = jnp.asarray(rng.rand(2, img_size, img_size, 3), jnp.float32)
+    qp = quant.quantize_model(spec, variables, calib)
+
+    path = str(tmp_path / "tiny_int8_nms.onnx")
+    export_onnx_native_quant(spec, qp, path, img_size=img_size,
+                             batch=batch, include_postprocess=True,
+                             conf_thres=conf_thres, iou_thres=iou_thres,
+                             max_det=max_det)
+
+    img = rng.randint(0, 255, (batch, img_size, img_size, 3), np.uint8)
+    boxes, scores, classes, extras, batch_idx = runner.run_onnx(
+        path, {"images": img})
+
+    preds = decode(
+        quant.quant_apply(spec, qp, jnp.asarray(img), dtype=jnp.float32),
+        spec)
+    d = NMS.non_max_suppression(preds, conf_thres, iou_thres,
+                                nc=spec.nc, nkpt=spec.nkpt,
+                                max_candidates=256, max_det=max_det)
+    total = int(np.asarray(d.valid).sum())
+    assert total > 0
+    assert boxes.shape == (total, 4)
+    for bi in range(batch):
+        sel = batch_idx == bi
+        v = np.asarray(d.valid[bi])
+        assert int(sel.sum()) == int(v.sum())
+        np.testing.assert_allclose(scores[sel],
+                                   np.asarray(d.scores[bi])[v],
+                                   atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(boxes[sel], np.asarray(d.boxes[bi])[v],
+                                   atol=5e-2)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["yolov7-w6-face", "yolov7s-face"])
 def test_family_roundtrip(name, tmp_path):
