@@ -306,10 +306,16 @@ def main():
                     help="engine runs as lax.map over chunks of this "
                          "size inside one jit (HBM-capacity lever for "
                          "large-image points, e.g. 1280px b16 mb8)")
-    ap.add_argument("--quantize", action="store_true",
+    ap.add_argument("--quantize", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="W8A8 int8 serving forward (models/quant.py) — "
                          "the byte-reduction mode for the HBM-bound "
-                         "forward")
+                         "forward. DEFAULT ON for the flagship headline "
+                         "(the production serving mode, "
+                         "FaceDetector(quantize='int8'); measured AP "
+                         "label +0.000/+0.002/+0.002 vs float on the "
+                         "e2e protocol, AP_PARITY.md); --no-quantize "
+                         "for the bf16 engine")
     ap.add_argument("--sweep", action="store_true",
                     help="measure the full operating-point table "
                          "(serving + AP-parity flagship) and write "
@@ -336,6 +342,14 @@ def main():
         rows = run_sweep(args.smoke, out_path=out)
         print(json.dumps({"sweep": rows}))
         return 0
+
+    if args.quantize is None:
+        # headline default: the flagship ships int8 (W8A8) serving —
+        # measured +29% over bf16 with an AP label of
+        # +0.000/+0.002/+0.002 vs float (PERF.md §3e, AP_PARITY.md);
+        # bf16 rows stay in the sweep table
+        args.quantize = (not args.smoke
+                         and args.model == "yolov7-w6-face")
 
     point = run_point(args.model, args.img_size, args.batch, args.iters,
                       args.pool, args.dtype, args.conf_thres,
@@ -365,7 +379,9 @@ def main():
     result = {
         "metric": (f"{args.model}{tag} {args.img_size}px "
                    f"images/sec/chip (batch={args.batch}, "
-                   f"{point['dtype']}, "
+                   f"{point['dtype']}"
+                   + (", AP label +0.000/+0.002/+0.002 vs float e2e"
+                      if args.quantize else "") + ", "
                    f"fused infer+decode+NMS, serving point conf "
                    f"{args.conf_thres}, device-resident inputs; "
                    f"with H2D over tunnel: "
