@@ -291,7 +291,13 @@ def main():
                          "multi_scale_face_detector.py:696); the tiny "
                          "serving model's numbers live in the sweep")
     ap.add_argument("--img-size", type=int, default=640)
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="128 is the headline default: int8 serving "
+                         "saturates at 256 (1445 vs 1368, CHIP_R5D) "
+                         "but the EVAL point — which vs_baseline is "
+                         "pinned to — measured 1228 b128 vs 1187 b256 "
+                         "same-process (CHIP_R5E); b256 is a "
+                         "serving-only recommendation")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--pool", type=int, default=4,
                     help="distinct resident input batches to rotate")
